@@ -1,0 +1,11 @@
+from .geometry import Vec3  # noqa: F401
+from .trace import (  # noqa: F401
+    ABSORBED,
+    EXITED,
+    RUNNING,
+    SUSPENDED,
+    TraceResult,
+    exit_count,
+    trace_rays,
+    trace_rays_jit,
+)

@@ -1,0 +1,255 @@
+"""Detector readout — TPU-native replacement for the reference's scoring
+loops.
+
+The reference's fast path caches every exiting ray's final segment and tests
+16,200 detector positions against them in a scalar C++ double loop
+(``fluxAtObserverFast.C:1269-1341``, ~10^9 plane/disk tests, 104-2191 s).
+Here the same test is three ``[N,3] x [3,P]`` matmuls plus a fused elementwise
+mask — the whole sweep collapses to one kernel on the MXU/VPU, chunked over
+positions to bound the ``[N, P_chunk]`` working set.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..config import DetectorGrid, SphereScene, Source, TraceConfig
+from .geometry import Vec3, detector_position, line_hits_disk
+from .trace import EXITED, TraceResult, trace_rays
+
+PARALLEL_EPS = 1e-10  # fluxAtObserver.C:78
+
+
+def grid_centers_normals(grid: DetectorGrid, exit_port_z=-100.0):
+    """All P = n_theta*n_phi detector centres/normals as ``[P, 3]`` arrays,
+    theta-major like the reference's sweep loops
+    (``fluxAtObserverOptimize.C:542-555``)."""
+    th = grid.theta_centers()
+    ph = grid.phi_centers()
+    th2 = jnp.repeat(th, grid.n_phi)
+    ph2 = jnp.tile(ph, (grid.n_theta,))
+    c, n = detector_position(th2, ph2, grid.radius, exit_port_z)
+    return c.stack(), n.stack()
+
+
+def _hits_block(E, D, rowmask, C, Nrm, half_w):
+    """Hit counts of every (ray, position) pair for one position block.
+
+    E, D: ``[N, 3]`` exit points / directions;  rowmask: ``[N]`` bool;
+    C, Nrm: ``[P, 3]`` centres / normals.  Returns ``[P]`` int32 counts.
+
+    Implements ``Detector::checkIntersection`` (``fluxAtObserver.C:70-107``)
+    pairwise: infinite-line/plane intersection, in-plane distance <= width/2,
+    parallel rays (|d.n| < 1e-10) excluded.  All pair terms are MXU matmuls.
+    """
+    f32 = jnp.float32
+    E = E.astype(f32)
+    D = D.astype(f32)
+    C = C.astype(f32)
+    Nrm = Nrm.astype(f32)
+
+    dn = jax.lax.dot_general(  # [N,P]  d . n_p
+        D, Nrm, (((1,), (1,)), ((), ())), preferred_element_type=f32)
+    en = jax.lax.dot_general(  # [N,P]  e . n_p
+        E, Nrm, (((1,), (1,)), ((), ())), preferred_element_type=f32)
+    ec = jax.lax.dot_general(  # [N,P]  e . c_p
+        E, C, (((1,), (1,)), ((), ())), preferred_element_type=f32)
+    dc = jax.lax.dot_general(  # [N,P]  d . c_p
+        D, C, (((1,), (1,)), ((), ())), preferred_element_type=f32)
+
+    cn = jnp.sum(C * Nrm, axis=1)          # [P]  c_p . n_p
+    c2 = jnp.sum(C * C, axis=1)            # [P]  |c_p|^2
+    e2 = jnp.sum(E * E, axis=1)            # [N]
+    ed = jnp.sum(E * D, axis=1)            # [N]  e . d
+
+    safe_dn = jnp.where(dn == 0, 1.0, dn)
+    t = -(en - cn[None, :]) / safe_dn      # [N,P] line-plane distance
+    # |e + t d - c|^2 with |d| = 1:
+    r2 = (e2[:, None] + c2[None, :] - 2.0 * ec) + t * (2.0 * (ed[:, None] - dc) + t)
+    hit = (jnp.abs(dn) >= PARALLEL_EPS) & (r2 <= half_w * half_w)
+    hit &= rowmask[:, None]
+    return jnp.sum(hit, axis=0, dtype=jnp.int32)
+
+
+def fluxmap_trace_once(
+    result: TraceResult,
+    grid: DetectorGrid,
+    exit_port_z=-100.0,
+    pos_chunk: int = 1080,
+) -> jax.Array:
+    """The trace-once flux map: ``[n_theta, n_phi]`` hit COUNTS from a traced
+    batch (``sweepDetectorTraceOnce``, ``fluxAtObserverFast.C:1068-1341``).
+
+    Divide by the traced ray count for the reference's ``fraction`` column.
+    Counts (not fractions) are returned so sharded partial maps can be
+    ``psum``-merged exactly.
+    """
+    mask = result.exited_port_mask(exit_port_z)
+    E = result.last_point.stack()
+    D = result.direction.stack()
+    C, Nrm = grid_centers_normals(grid, exit_port_z)
+    P = grid.n_positions
+
+    chunk = min(pos_chunk, P)
+    n_chunks = -(-P // chunk)
+    pad = n_chunks * chunk - P
+    if pad:
+        C = jnp.concatenate([C, jnp.zeros((pad, 3), C.dtype)])
+        # pad normals with +z so padded positions are valid-but-missed
+        padn = jnp.tile(jnp.array([[0.0, 0.0, 1.0]], Nrm.dtype), (pad, 1))
+        Nrm = jnp.concatenate([Nrm, padn])
+    Cb = C.reshape(n_chunks, chunk, 3)
+    Nb = Nrm.reshape(n_chunks, chunk, 3)
+
+    half_w = grid.width / 2.0
+
+    def one_chunk(args):
+        c, n = args
+        return _hits_block(E, D, mask, c, n, half_w)
+
+    counts = jax.lax.map(one_chunk, (Cb, Nb)).reshape(-1)[:P]
+    return counts.reshape(grid.n_theta, grid.n_phi)
+
+
+def hits_single_detector(result: TraceResult, center: Vec3, normal: Vec3,
+                         half_width, exit_port_z=-100.0) -> jax.Array:
+    """Hit count for one detector position (the per-position scoring of
+    ``traceRaysParallel``, ``fluxAtObserverOptimize.C:298-327``)."""
+    mask = result.exited_port_mask(exit_port_z)
+    hit = line_hits_disk(result.last_point, result.direction, center, normal,
+                         half_width, PARALLEL_EPS)
+    return jnp.sum(hit & mask, dtype=jnp.int32)
+
+
+def fluxmap_retrace(
+    key: jax.Array,
+    scene: SphereScene,
+    source: Source,
+    grid: DetectorGrid,
+    n_per_pos: int,
+    cfg: TraceConfig = TraceConfig(),
+    pos_chunk: int = 8,
+) -> jax.Array:
+    """The honest retrace sweep: fresh rays for every detector position
+    (``sweepDetector``, ``fluxAtObserverOptimize.C:433-702`` — 8.1x10^8
+    traces per map).  Statistically identical to trace-once in expectation but
+    with independent noise per position; kept for cross-method consistency
+    checks (SURVEY.md §4.3).  Returns ``[n_theta, n_phi]`` hit counts.
+    """
+    C, Nrm = grid_centers_normals(grid, scene.exit_port_z)
+    P = grid.n_positions
+    chunk = min(pos_chunk, P)
+    n_chunks = -(-P // chunk)
+    pad = n_chunks * chunk - P
+    if pad:
+        C = jnp.concatenate([C, jnp.zeros((pad, 3), C.dtype)])
+        padn = jnp.tile(jnp.array([[0.0, 0.0, 1.0]], Nrm.dtype), (pad, 1))
+        Nrm = jnp.concatenate([Nrm, padn])
+    half_w = grid.width / 2.0
+
+    def one_chunk(carry, i):
+        # A fresh, independent batch per position chunk: key folded on the
+        # chunk index, rays partitioned chunk-wise among positions.
+        k = jax.random.fold_in(key, i)
+        res = trace_rays(k, scene, source, n_per_pos * chunk, cfg)
+        mask = res.exited_port_mask(scene.exit_port_z)
+        # ray j belongs to position i*chunk + j // n_per_pos
+        owner = jnp.arange(n_per_pos * chunk) // n_per_pos
+        c = Vec3.from_dense(jax.lax.dynamic_slice_in_dim(C, i * chunk, chunk))
+        n = Vec3.from_dense(jax.lax.dynamic_slice_in_dim(Nrm, i * chunk, chunk))
+        cen = Vec3(c.x[owner], c.y[owner], c.z[owner])
+        nrm = Vec3(n.x[owner], n.y[owner], n.z[owner])
+        hit = line_hits_disk(res.last_point, res.direction, cen, nrm,
+                             half_w, PARALLEL_EPS) & mask
+        return carry, jnp.sum(
+            hit.reshape(chunk, n_per_pos), axis=1, dtype=jnp.int32)
+
+    _, counts = jax.lax.scan(one_chunk, jnp.zeros((), jnp.int32),
+                             jnp.arange(n_chunks))
+    return counts.reshape(-1)[:P].reshape(grid.n_theta, grid.n_phi)
+
+
+# ---------------------------------------------------------------------------
+# Exit-direction histograms (distributionSphereDetectorSweep.C, 3dRayLog)
+# ---------------------------------------------------------------------------
+
+def exit_angle_histogram(result: TraceResult, n_bins: int = 180,
+                         lo: float = -90.0, hi: float = 90.0,
+                         exit_port_z=-100.0) -> jax.Array:
+    """Signed exit-angle histogram of port-exiting rays, 180 bins on
+    [-90, 90] — the ``distributionSphereDetectorSweep.C:80-99`` observable.
+
+    theta = sign(dx) * (180 - acos(dz)) deg: the angle from the -z port
+    axis, signed by the x-direction.  (The reference macro fills
+    sign(dx)*acos(dz), whose values exceed 90 deg for every downward ray and
+    land in ROOT's overflow bin; its companion ``3drayanalysis.py:16``
+    subtracts 180 deg — that corrected port-axis convention is what the
+    cosine self-check (fit at ``:115-118``) needs, and what is implemented
+    here.)  A Lambertian sphere port must produce a cos(theta) profile.
+    """
+    mask = result.exited_port_mask(exit_port_z)
+    d = result.direction.normalized()
+    theta = jnp.sign(d.x) * (
+        180.0 - jnp.rad2deg(jnp.arccos(jnp.clip(d.z, -1.0, 1.0))))
+    idx = jnp.clip(((theta - lo) / (hi - lo) * n_bins).astype(jnp.int32),
+                   0, n_bins - 1)
+    in_range = (theta >= lo) & (theta < hi) & mask & jnp.isfinite(theta)
+    return jnp.zeros((n_bins,), jnp.int32).at[idx].add(
+        in_range.astype(jnp.int32))
+
+
+def exit_directions(result: TraceResult, exit_port_z=-100.0):
+    """(mask, dx, dy, dz) of exiting rays — the ``3dRayLog.txt`` payload
+    (``# dx dy dz`` of 100k exit directions, see ``3drayanalysis.py:5``)."""
+    mask = result.exited_port_mask(exit_port_z)
+    d = result.direction.normalized()
+    return mask, d.x, d.y, d.z
+
+
+def z_angle_histogram(dz, mask, n_bins: int = 100):
+    """The cos-z binned ``angular_dist.txt`` payload: 100 bins over dz."""
+    idx = jnp.clip(((dz + 1.0) / 2.0 * n_bins).astype(jnp.int32), 0, n_bins - 1)
+    return jnp.zeros((n_bins,), jnp.int32).at[idx].add(mask.astype(jnp.int32))
+
+
+# ---------------------------------------------------------------------------
+# In-sphere focal-surface disk (integratingSphereDetectorSweep.C)
+# ---------------------------------------------------------------------------
+
+def insphere_disk_position(theta_deg, phi_deg, radius=200.0,
+                           exit_port_z=-100.0):
+    """Disk placement of ``addDetectorDisk``
+    (``integratingSphereDetectorSweep.C:145-172``): centre at spherical
+    coords about the ORIGIN (r=200 cm, theta from -z), normal aimed at the
+    port centre (0, 0, exit_port_z)."""
+    th = jnp.deg2rad(theta_deg)
+    ph = jnp.deg2rad(phi_deg)
+    cx = radius * jnp.sin(th) * jnp.cos(ph)
+    cy = radius * jnp.sin(th) * jnp.sin(ph)
+    cz = -radius * jnp.cos(th)
+    d = Vec3(0.0 - cx, 0.0 - cy, exit_port_z - cz)
+    return Vec3(cx, cy, cz), d.normalized()
+
+
+def hits_insphere_disk(result: TraceResult, center: Vec3, normal: Vec3,
+                       disk_radius) -> jax.Array:
+    """Physical focal-surface hit: the disk participates in the geometry
+    (absorbs the ray), so unlike the observer test the intersection must lie
+    FORWARD on the final segment (t >= 0).  Because the disk sits outside the
+    sphere (r=200 > shell radii), it can only intercept port-exiting rays —
+    a forward segment test is exactly equivalent to the reference's
+    node-history scan (``integratingSphereDetectorSweep.C:134-143``)."""
+    p = result.seg_start
+    d = result.direction
+    dot = d.dot(normal)
+    rel = p - center
+    t = -rel.dot(normal) / jnp.where(dot == 0, 1.0, dot)
+    hit_pt = p + d.scale(t)
+    r2 = (hit_pt - center).norm2()
+    exited = result.status == EXITED
+    ok = (jnp.abs(dot) >= PARALLEL_EPS) & (t >= 0) & \
+         (r2 <= disk_radius * disk_radius) & exited
+    return jnp.sum(ok, dtype=jnp.int32)

@@ -1,0 +1,9 @@
+from .mesh import (  # noqa: F401
+    RAY_AXIS,
+    make_mesh,
+    replicate,
+    scene_spec,
+    sharded_exit_histogram,
+    sharded_fluxmap,
+    sharded_param_sweep,
+)

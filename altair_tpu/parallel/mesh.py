@@ -1,0 +1,177 @@
+"""SPMD execution over a device mesh — the distributed backend.
+
+The reference's entire parallelism story is <=4 shared-memory threads inside
+ROBAST (``fluxAtObserverOptimize.C:450-454``) plus overnight wall-clock
+(SURVEY.md §2.3/§5.8).  The TPU-native equivalent: the ray batch axis is
+sharded over a 1-D ``rays`` mesh axis with ``shard_map``; every chip traces
+its shard independently (tracing is embarrassingly parallel) and the ONLY
+cross-device traffic is one ``psum`` of the (theta, phi) hit-count histogram
+and the scalar counters at the end — a few hundred KB over ICI per sweep.
+
+Multi-host: call ``jax.distributed.initialize()`` before ``make_mesh()`` and
+the same code runs over DCN-connected slices (the mesh spans all processes'
+devices; no further changes — single-controller JAX).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import DetectorGrid, SphereScene, Source, TraceConfig
+from ..core.score import exit_angle_histogram, fluxmap_trace_once
+from ..core.trace import EXITED, TraceResult, trace_rays
+
+RAY_AXIS = "rays"
+
+
+def make_mesh(devices=None, axis_name: str = RAY_AXIS) -> Mesh:
+    """1-D mesh over all (or the given) devices; the ray batch is the only
+    sharded axis in this workload — pure data parallelism over ICI."""
+    devices = jax.devices() if devices is None else devices
+    return jax.make_mesh((len(devices),), (axis_name,), devices=devices)
+
+
+def _per_shard_key(key, axis_name):
+    """Statistically independent fold per shard (counter-based, so adding
+    devices never replays another shard's stream)."""
+    return jax.random.fold_in(key, jax.lax.axis_index(axis_name))
+
+
+def sharded_fluxmap(
+    mesh: Mesh,
+    key: jax.Array,
+    scene: SphereScene,
+    source: Source,
+    grid: DetectorGrid,
+    n_rays: int,
+    cfg: TraceConfig = TraceConfig(),
+    pos_chunk: int = 1080,
+):
+    """Trace ``n_rays`` (total, split evenly over the mesh) and score the
+    full detector grid; returns (counts [n_theta, n_phi] int32, n_exited).
+
+    The full trace-once sweep as ONE sharded kernel: per-chip trace ->
+    per-chip partial histogram -> single ``psum`` over ICI.
+    """
+    n_dev = mesh.devices.size
+    if n_rays % n_dev:
+        raise ValueError(f"n_rays={n_rays} must divide over {n_dev} devices")
+    n_local = n_rays // n_dev
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), scene_spec(scene), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    def run(key, scene, src):
+        k = _per_shard_key(key, RAY_AXIS)
+        res = trace_rays(k, scene, src, n_local, cfg)
+        counts = fluxmap_trace_once(res, grid, scene.exit_port_z, pos_chunk)
+        n_exit = jnp.sum(res.exited_port_mask(scene.exit_port_z),
+                         dtype=jnp.int32)
+        counts = jax.lax.psum(counts, RAY_AXIS)
+        n_exit = jax.lax.psum(n_exit, RAY_AXIS)
+        return counts, n_exit
+
+    return run(key, scene, source)
+
+
+def sharded_exit_histogram(
+    mesh: Mesh,
+    key: jax.Array,
+    scene: SphereScene,
+    source: Source,
+    n_rays: int,
+    cfg: TraceConfig = TraceConfig(),
+    n_bins: int = 180,
+):
+    """Sharded equivalent of the exit angular-distribution run
+    (``distributionSphereDetectorSweep.C``): per-chip trace + histogram,
+    one ``psum``.  Returns (hist [n_bins] int32, n_exited)."""
+    n_dev = mesh.devices.size
+    if n_rays % n_dev:
+        raise ValueError(f"n_rays={n_rays} must divide over {n_dev} devices")
+    n_local = n_rays // n_dev
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), scene_spec(scene), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    def run(key, scene, src):
+        k = _per_shard_key(key, RAY_AXIS)
+        res = trace_rays(k, scene, src, n_local, cfg)
+        hist = exit_angle_histogram(res, n_bins,
+                                    exit_port_z=scene.exit_port_z)
+        n_exit = jnp.sum(res.exited_port_mask(scene.exit_port_z),
+                         dtype=jnp.int32)
+        return (jax.lax.psum(hist, RAY_AXIS),
+                jax.lax.psum(n_exit, RAY_AXIS))
+
+    return run(key, scene, source)
+
+
+def scene_spec(scene: SphereScene):
+    """Replicated PartitionSpec pytree matching the scene structure."""
+    return jax.tree.map(lambda _: P(), scene)
+
+
+def sharded_param_sweep(
+    mesh: Mesh,
+    key: jax.Array,
+    scenes: SphereScene,          # pytree with a leading batch axis
+    source: Source,
+    n_rays_per_scene: int,
+    cfg: TraceConfig = TraceConfig(),
+):
+    """Scene-parameter sweep (the ``sweepSeries`` axis, SURVEY.md §2.3.5):
+    vmap over a batch of scenes (port angle / roughness / reflectance ...)
+    with the ray axis sharded inside.  Returns per-scene exit counts.
+
+    The reference ran these as sequential overnight for-loops
+    (``fluxAtObserverOptimize.C:892-921``); here the parameter axis is just
+    one more batch dimension.
+    """
+    n_dev = mesh.devices.size
+    if n_rays_per_scene % n_dev:
+        raise ValueError("n_rays_per_scene must divide over devices")
+    n_local = n_rays_per_scene // n_dev
+
+    scenes_spec = jax.tree.map(lambda _: P(), scenes)
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), scenes_spec, P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+    def run(key, scenes, src):
+        k = _per_shard_key(key, RAY_AXIS)
+
+        def one_scene(i, scene):
+            res = trace_rays(jax.random.fold_in(k, i), scene, src, n_local,
+                             cfg)
+            return jnp.sum(res.exited_port_mask(scene.exit_port_z),
+                           dtype=jnp.int32)
+
+        n_scenes = jax.tree.leaves(scenes)[0].shape[0]
+        counts = jax.lax.map(
+            lambda args: one_scene(args[0], args[1]),
+            (jnp.arange(n_scenes), scenes))
+        return jax.lax.psum(counts, RAY_AXIS)
+
+    return run(key, scenes, source)
+
+
+def replicate(x, mesh: Mesh):
+    """Put a host value on every device of the mesh (replicated)."""
+    return jax.device_put(x, NamedSharding(mesh, P()))

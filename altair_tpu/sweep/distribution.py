@@ -1,0 +1,84 @@
+"""Exit angular-distribution run — ``distributionSphereDetectorSweep.C`` and
+the ``makeIntegratingSphereNRays.C`` flux counter, plus the raw direction
+log (``3dRayLog.txt``) and cos-z histogram (``angular_dist.txt``) payloads.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+
+import jax
+import numpy as np
+
+from ..config import SphereScene, Source, TraceConfig
+from ..core.score import exit_angle_histogram, exit_directions, z_angle_histogram
+from ..core.trace import trace_rays
+
+
+@dataclasses.dataclass
+class DistributionResult:
+    n_rays: int
+    n_exited: int                  # the "Flux of rays through the exit port"
+    angle_hist: np.ndarray         # [180] signed port-axis angle counts
+    dz_hist: np.ndarray            # [100] cos-z bin counts (angular_dist)
+    directions: np.ndarray         # [n_exited, 3] exit dirs (3dRayLog)
+    wall_time_s: float
+
+
+def run_distribution(
+    scene: SphereScene,
+    source: Source,
+    *,
+    n_rays: int = 10_000,
+    seed: int = 0,
+    cfg: TraceConfig = TraceConfig(),
+    keep_directions: bool = True,
+) -> DistributionResult:
+    """Trace and histogram the exit angles (10k rays in the reference macro,
+    ``distributionSphereDetectorSweep.C:57``)."""
+    t0 = time.perf_counter()
+
+    @jax.jit
+    def run(key):
+        res = trace_rays(key, scene, source, n_rays, cfg)
+        mask, dx, dy, dz = exit_directions(res, scene.exit_port_z)
+        return (
+            exit_angle_histogram(res, exit_port_z=scene.exit_port_z),
+            z_angle_histogram(dz, mask),
+            mask, dx, dy, dz,
+        )
+
+    ang, dzh, mask, dx, dy, dz = jax.block_until_ready(
+        run(jax.random.key(seed)))
+    m = np.asarray(mask)
+    dirs = (np.stack([np.asarray(dx)[m], np.asarray(dy)[m],
+                      np.asarray(dz)[m]], axis=1)
+            if keep_directions else np.zeros((0, 3)))
+    wall = time.perf_counter() - t0
+    return DistributionResult(
+        n_rays=n_rays,
+        n_exited=int(m.sum()),
+        angle_hist=np.asarray(ang),
+        dz_hist=np.asarray(dzh),
+        directions=dirs,
+        wall_time_s=wall,
+    )
+
+
+def write_ray_log(path: str, directions: np.ndarray):
+    """``3dRayLog.txt`` dialect: ``# dx dy dz`` header + one direction per
+    line (``3drayanalysis.py:5`` loads it with plain np.loadtxt)."""
+    with open(path, "w") as fh:
+        fh.write("# dx dy dz\n")
+        np.savetxt(fh, directions, fmt="%.6f")
+
+
+def write_angular_dist(path: str, dz_hist: np.ndarray):
+    """``angular_dist.txt`` dialect: ``# bin_center content`` over 100 cos-z
+    bins on [-1, 1]."""
+    centers = -1 + (np.arange(len(dz_hist)) + 0.5) * (2 / len(dz_hist))
+    with open(path, "w") as fh:
+        fh.write("# bin_center content\n")
+        for c, v in zip(centers, dz_hist):
+            fh.write(f"{c:.2f} {int(v)}\n")

@@ -1,0 +1,129 @@
+"""In-geometry detector-disk sweep — ``integratingSphereDetectorSweep.C``.
+
+The reference rebuilds the TGeo geometry for every disk position and
+re-traces 100k rays per position (``:31-105``), detecting hits by scanning
+the ray node history for a node named "detector" (``:134-143``).  Because
+the disk sits OUTSIDE the sphere (placed at r=200 cm from the origin,
+``:145-172``) it cannot shadow the interior physics, so one traced batch
+scored against every disk position is exactly equivalent — but the
+per-position re-trace is also provided (``retrace=True``) for bit-faithful
+methodology parity.
+
+Output: ``detector_sweep3.txt`` dialect — ``Theta(deg)\\tPhi(deg)\\t
+HitFraction`` rows over theta in [-thetaMax, thetaMax] (step dtheta) x
+phi in {0, 180}.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import SphereScene, Source, TraceConfig
+from ..core.score import hits_insphere_disk, insphere_disk_position
+from ..core.trace import trace_rays
+
+
+@dataclasses.dataclass
+class InsphereSweepResult:
+    thetas: np.ndarray         # flattened sweep order (theta-major)
+    phis: np.ndarray
+    fractions: np.ndarray
+    n_rays: int
+    wall_time_s: float
+
+
+def sweep_insphere_detector(
+    scene: SphereScene,
+    source: Source,
+    *,
+    disk_radius: float = 5.0,
+    n_rays: int = 100_000,
+    dtheta: float = 0.5,
+    theta_max: float = 45.0,
+    dphi: float = 180.0,
+    placement_radius: float = 200.0,
+    seed: int = 0,
+    cfg: TraceConfig = TraceConfig(),
+    retrace: bool = False,
+    save_path: str | None = "detector_sweep3.txt",
+) -> InsphereSweepResult:
+    """Sweep the focal-surface disk over theta in [-theta_max, theta_max]
+    (inclusive, like the reference's ``theta <= thetaMax`` loop) x
+    phi in [0, 360) step dphi.  Defaults replicate
+    ``integratingSphereDetectorSweep():119-129`` (100k rays, dtheta 0.5,
+    theta 45, disk r=5 cm)."""
+    t0 = time.perf_counter()
+    thetas = np.arange(-theta_max, theta_max + dtheta / 2, dtheta)
+    phis = np.arange(0.0, 360.0, dphi)
+    key = jax.random.key(seed)
+
+    # disk centres/normals for all positions
+    tt = np.repeat(thetas, len(phis))
+    pp = np.tile(phis, len(thetas))
+    centers, normals = insphere_disk_position(
+        jnp.asarray(tt, jnp.float32), jnp.asarray(pp, jnp.float32),
+        placement_radius, scene.exit_port_z)
+
+    if retrace:
+        @jax.jit
+        def one(key, c, n):
+            res = trace_rays(key, scene, source, n_rays, cfg)
+            return hits_insphere_disk(res, c, n, disk_radius)
+
+        frac = np.empty(len(tt))
+        from ..core.geometry import Vec3
+        for i in range(len(tt)):
+            c = Vec3(centers.x[i], centers.y[i], centers.z[i])
+            nn = Vec3(normals.x[i], normals.y[i], normals.z[i])
+            frac[i] = int(one(jax.random.fold_in(key, i), c, nn)) / n_rays
+    else:
+        @jax.jit
+        def allpos(key):
+            res = trace_rays(key, scene, source, n_rays, cfg)
+
+            def per_pos(args):
+                c, n = args
+                return hits_insphere_disk(res, c, n, disk_radius)
+
+            from ..core.geometry import Vec3
+            return jax.lax.map(
+                lambda i: per_pos((
+                    Vec3(centers.x[i], centers.y[i], centers.z[i]),
+                    Vec3(normals.x[i], normals.y[i], normals.z[i]))),
+                jnp.arange(len(tt)))
+
+        frac = np.asarray(allpos(key)) / n_rays
+
+    wall = time.perf_counter() - t0
+    if save_path:
+        with open(save_path, "w") as fh:
+            fh.write("Theta(deg)\tPhi(deg)\tHitFraction\n")
+            for th, ph_, fr in zip(tt, pp, frac):
+                fh.write(f"{_fmt(th)}\t{_fmt(ph_)}\t{_fmt(fr)}\n")
+    return InsphereSweepResult(tt, pp, frac, n_rays, wall)
+
+
+def _fmt(v: float) -> str:
+    """C++ default ostream float formatting (6 significant digits,
+    trailing-zero free) used by the reference's ``outFile << theta``."""
+    s = f"{v:.6g}"
+    return s
+
+
+def read_detector_sweep(path: str):
+    """Parse the ``detector_sweep*.txt`` dialect back."""
+    rows = []
+    with open(path) as fh:
+        header = fh.readline()
+        assert "Theta" in header
+        for line in fh:
+            parts = line.split()
+            if len(parts) >= 3:
+                rows.append([float(p) for p in parts[:3]])
+    a = np.asarray(rows)
+    return a[:, 0], a[:, 1], a[:, 2]

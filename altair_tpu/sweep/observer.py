@@ -1,0 +1,326 @@
+"""Observer flux-map sweeps — the production entry points.
+
+Equivalents of the reference's sweep macros, same knobs, same CSV dialect,
+same stdout protocol:
+
+* ``sweep_detector_trace_once``  <- ``sweepDetectorTraceOnce``
+  (``fluxAtObserverFast.C:1068-1397``): trace all rays once, score every
+  grid position.  On TPU the 16,200-position scoring is three matmuls, so
+  the entire sweep is ONE device call.
+* ``sweep_detector_retrace``     <- ``sweepDetector``
+  (``fluxAtObserverOptimize.C:433-702``): fresh rays per position
+  (statistically independent bins).  8.1x10^8 traces run as chunked device
+  calls with immediate CSV flushing per chunk (crash-resume contract).
+* ``sweep_detector_twofold``     <- ``sweepDetectorTwofold``
+  (``fluxAtObserverFast.C:518-865``): one trace batch scores two antipodal
+  detectors.  Subsumed by trace-once on TPU; provided for API parity as a
+  thin wrapper that reuses one batch per antipodal position pair.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+
+import jax
+import numpy as np
+
+from ..config import DetectorGrid, SphereScene, Source, TraceConfig
+from ..core.score import fluxmap_retrace, fluxmap_trace_once
+from ..core.trace import trace_rays
+from ..io import (
+    EtaTracker,
+    FluxmapMetadata,
+    FluxmapWriter,
+    debug_stamp,
+    fluxmap_filename,
+    notify_bell,
+)
+
+
+@dataclasses.dataclass
+class SweepResult:
+    path: str | None
+    fluxmap: np.ndarray          # [n_theta, n_phi] fractions
+    n_exited: int
+    n_rays: int
+    trace_time_s: float
+    score_time_s: float
+    total_time_s: float
+
+
+def _metadata(scene: SphereScene, source: Source, grid: DetectorGrid,
+              n_rays: int, trace_once: bool) -> FluxmapMetadata:
+    return FluxmapMetadata(
+        n_rays=n_rays,
+        detector_width_cm=grid.width,
+        detector_height_cm=grid.height,
+        inner_radius_cm=float(scene.inner_radius),
+        outer_radius_cm=float(scene.outer_radius),
+        exit_port_angle_deg=float(scene.theta_max_deg),
+        n_theta=grid.n_theta,
+        n_phi=grid.n_phi,
+        reflectance=float(scene.reflectance),
+        roughness=float(scene.roughness),
+        source_pos_cm=(float(source.x), float(source.y), float(source.z)),
+        source_dir=(float(source.dir_x), float(source.dir_y),
+                    float(source.dir_z)),
+        max_reflections=scene.max_bounces,
+        trace_once=trace_once,
+    )
+
+
+def sweep_detector_trace_once(
+    scene: SphereScene,
+    source: Source,
+    *,
+    n_rays: int = 100_000,
+    grid: DetectorGrid = DetectorGrid(),
+    seed: int = 0,
+    cfg: TraceConfig = TraceConfig(),
+    save_folder: str | None = "results",
+    notify: bool = False,
+    mesh=None,
+    verbose: bool = True,
+) -> SweepResult:
+    """Trace once, score the whole grid.  Pass ``mesh`` (from
+    ``altair_tpu.parallel.make_mesh``) to shard the ray axis over chips."""
+    t_setup0 = time.perf_counter()
+    key = jax.random.key(seed)
+
+    if verbose:
+        debug_stamp("Starting sweep setup")
+
+    if mesh is not None:
+        from ..parallel import sharded_fluxmap
+
+        def run(key):
+            return sharded_fluxmap(mesh, key, scene, source, grid, n_rays,
+                                   cfg)
+    else:
+        @jax.jit
+        def run(key):
+            res = trace_rays(key, scene, source, n_rays, cfg)
+            counts = fluxmap_trace_once(res, grid, scene.exit_port_z)
+            n_exit = res.exited_port_mask(scene.exit_port_z).sum()
+            return counts, n_exit
+
+    if verbose:
+        debug_stamp("Tracing all rays once")
+    t0 = time.perf_counter()
+    counts, n_exit = jax.block_until_ready(run(key))
+    t_trace = time.perf_counter() - t0  # fused trace+score on device
+    if verbose:
+        debug_stamp(f"Ray tracing + scoring completed in {t_trace:.4f} s")
+        print(f"Total rays exiting port: {int(n_exit)} out of {n_rays}")
+
+    fm = np.asarray(counts, dtype=np.float64) / n_rays
+    total = time.perf_counter() - t_setup0
+
+    path = None
+    if save_folder is not None:
+        meta = _metadata(scene, source, grid, n_rays, trace_once=True)
+        fname = fluxmap_filename(
+            n_rays, grid.n_theta, grid.n_phi,
+            (float(source.x), float(source.y), float(source.z)),
+            trace_once=True)
+        with FluxmapWriter(os.path.join(save_folder, fname), meta) as w:
+            w.write_map(np.asarray(grid.theta_centers()),
+                        np.asarray(grid.phi_centers()), fm)
+            w.write_footer(total, ray_time_s=t_trace, sweep_time_s=0.0,
+                           exited=int(n_exit), n_rays=n_rays)
+            path = w.path
+        if verbose:
+            print(f"\nFlux map data saved to '{path}'")
+    if notify:
+        notify_bell()
+    return SweepResult(path, fm, int(n_exit), n_rays, t_trace, 0.0, total)
+
+
+def sweep_detector_retrace(
+    scene: SphereScene,
+    source: Source,
+    *,
+    n_rays_per_pos: int = 50_000,
+    grid: DetectorGrid = DetectorGrid(),
+    seed: int = 0,
+    cfg: TraceConfig = TraceConfig(),
+    save_folder: str | None = "results",
+    notify: bool = False,
+    pos_chunk: int = 90,
+    verbose: bool = True,
+    resume_path: str | None = None,
+) -> SweepResult:
+    """Fresh rays for every detector position, chunked with per-chunk CSV
+    flush (the overnight production path, crash-resilient like the
+    reference's immediate-flush loop).  ``resume_path``: continue a partial
+    CSV written by an earlier killed run (rows already present are skipped —
+    the reference's manual resume contract, SURVEY.md §5.3/5.4)."""
+    t_all0 = time.perf_counter()
+    key = jax.random.key(seed)
+    P = grid.n_positions
+    if P % pos_chunk:
+        raise ValueError("pos_chunk must divide n_theta*n_phi")
+    n_chunks = P // pos_chunk
+
+    run = jax.jit(lambda key, chunk_grid: fluxmap_retrace(
+        key, scene, source, chunk_grid, n_rays_per_pos, cfg,
+        pos_chunk=min(8, pos_chunk)))
+
+    # Chunk along theta rows so each chunk is a contiguous sub-grid.
+    if pos_chunk % grid.n_phi:
+        raise ValueError("pos_chunk must be a multiple of n_phi "
+                         "(chunking is by theta rows)")
+    rows_per_chunk = pos_chunk // grid.n_phi
+
+    th = np.asarray(grid.theta_centers())
+    ph = np.asarray(grid.phi_centers())
+
+    done_rows = 0
+    writer = None
+    fm = np.zeros((grid.n_theta, grid.n_phi))
+    if resume_path is not None and os.path.exists(resume_path):
+        from ..io import read_fluxmap
+        theta_r, phi_r, frac_r, _ = read_fluxmap(resume_path)
+        done_rows = len(theta_r) // grid.n_phi
+        fm[:done_rows] = frac_r[:done_rows * grid.n_phi].reshape(
+            done_rows, grid.n_phi)
+        writer = FluxmapWriter(resume_path, _metadata(
+            scene, source, grid, n_rays_per_pos, trace_once=False),
+            make_unique=True)  # rewrite under a fresh unique name
+        writer.write_map(th[:done_rows], ph, fm[:done_rows])
+        if verbose:
+            print(f"Resuming after {done_rows} completed theta rows")
+
+    if writer is None and save_folder is not None:
+        meta = _metadata(scene, source, grid, n_rays_per_pos,
+                         trace_once=False)
+        fname = fluxmap_filename(
+            n_rays_per_pos, grid.n_theta, grid.n_phi,
+            (float(source.x), float(source.y), float(source.z)),
+            trace_once=False)
+        writer = FluxmapWriter(os.path.join(save_folder, fname), meta)
+
+    eta = EtaTracker(total=n_chunks)
+    eta.done = done_rows // rows_per_chunk
+    t_trace = 0.0
+    for ci in range(done_rows // rows_per_chunk, n_chunks):
+        row0 = ci * rows_per_chunk
+        sub = dataclasses.replace(
+            grid, n_theta=rows_per_chunk,
+            theta_lo=grid.theta_lo + row0 * (grid.theta_hi - grid.theta_lo)
+            / grid.n_theta,
+            theta_hi=grid.theta_lo + (row0 + rows_per_chunk)
+            * (grid.theta_hi - grid.theta_lo) / grid.n_theta)
+        t0 = time.perf_counter()
+        counts = jax.block_until_ready(
+            run(jax.random.fold_in(key, ci), sub))
+        t_trace += time.perf_counter() - t0
+        fm[row0:row0 + rows_per_chunk] = (
+            np.asarray(counts, np.float64) / n_rays_per_pos)
+        if writer is not None:
+            writer.write_map(th[row0:row0 + rows_per_chunk], ph,
+                             fm[row0:row0 + rows_per_chunk])
+        line = eta.tick()
+        if verbose:
+            print(f"Completed theta rows {row0}-{row0 + rows_per_chunk - 1}"
+                  f" ({eta.percent:.1f}%)")
+            if line:
+                print("  " + line)
+
+    total = time.perf_counter() - t_all0
+    total_hits = int(round(fm.sum() * n_rays_per_pos))
+    path = None
+    if writer is not None:
+        writer.write_footer(total, total_hits=total_hits,
+                            n_total=n_rays_per_pos * P)
+        path = writer.path
+        writer.close()
+        if verbose:
+            print(f"\nFlux map data saved to '{path}'")
+    if notify:
+        notify_bell()
+    return SweepResult(path, fm, -1, n_rays_per_pos, t_trace,
+                       total - t_trace, total)
+
+
+def sweep_detector_twofold(
+    scene: SphereScene,
+    source: Source,
+    *,
+    n_rays_per_pair: int = 50_000,
+    grid: DetectorGrid = DetectorGrid(),
+    seed: int = 0,
+    cfg: TraceConfig = TraceConfig(),
+    save_folder: str | None = "results",
+    notify: bool = False,
+    verbose: bool = True,
+) -> SweepResult:
+    """Twofold reuse: one fresh batch per antipodal position pair
+    (phi, phi+180) — halves the traced batches exactly like
+    ``sweepDetectorTwofold`` (``fluxAtObserverFast.C:656-714``).
+
+    Requires an even ``n_phi``.  Implemented as a retrace over the half-phi
+    grid where each batch is scored against both mirror positions.
+    """
+    if grid.n_phi % 2:
+        raise ValueError("twofold needs an even n_phi")
+    import jax.numpy as jnp
+
+    from ..core.geometry import Vec3, detector_position, line_hits_disk
+
+    t0_all = time.perf_counter()
+    key = jax.random.key(seed)
+    th = np.asarray(grid.theta_centers())
+    ph = np.asarray(grid.phi_centers())
+    half = grid.n_phi // 2
+
+    @jax.jit
+    def pair_counts(key, theta, phi):
+        res = trace_rays(key, scene, source, n_rays_per_pair, cfg)
+        mask = res.exited_port_mask(scene.exit_port_z)
+        out = []
+        for p in (phi, phi + 180.0):
+            c, n = detector_position(theta, p, grid.radius,
+                                     scene.exit_port_z)
+            hit = line_hits_disk(res.last_point, res.direction, c, n,
+                                 grid.width / 2.0)
+            out.append(jnp.sum(hit & mask, dtype=jnp.int32))
+        return jnp.stack(out)
+
+    fm = np.zeros((grid.n_theta, grid.n_phi))
+    eta = EtaTracker(total=grid.n_theta * half)
+    t_trace = 0.0
+    for i in range(grid.n_theta):
+        for j in range(half):
+            t0 = time.perf_counter()
+            cnt = np.asarray(pair_counts(
+                jax.random.fold_in(key, i * half + j),
+                jnp.float32(th[i]), jnp.float32(ph[j])))
+            t_trace += time.perf_counter() - t0
+            fm[i, j] = cnt[0] / n_rays_per_pair
+            fm[i, j + half] = cnt[1] / n_rays_per_pair
+            eta.tick()
+        if verbose:
+            print(f"theta={th[i]:.2f} done ({eta.percent:.1f}%)")
+
+    total = time.perf_counter() - t0_all
+    path = None
+    if save_folder is not None:
+        meta = _metadata(scene, source, grid, n_rays_per_pair,
+                         trace_once=False)
+        fname = fluxmap_filename(
+            n_rays_per_pair, grid.n_theta, grid.n_phi,
+            (float(source.x), float(source.y), float(source.z)),
+            trace_once=False)
+        with FluxmapWriter(os.path.join(save_folder, fname), meta) as w:
+            w.write_map(th, ph, fm)
+            w.write_footer(total,
+                           total_hits=int(round(fm.sum() * n_rays_per_pair)),
+                           n_total=n_rays_per_pair * grid.n_positions)
+            path = w.path
+    if notify:
+        notify_bell()
+    return SweepResult(path, fm, -1, n_rays_per_pair, t_trace,
+                       total - t_trace, total)

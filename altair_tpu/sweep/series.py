@@ -1,0 +1,117 @@
+"""Sweep series — the reference's overnight for-loops as batched runs.
+
+``sweepSeries`` (``fluxAtObserverOptimize.C:892-921``: port angles 163-178;
+``fluxAtObserverFast.C:1641-1673``: 5 repeats at port 164; commented source-
+direction series) are sequential overnight loops.  Here a series is either
+
+* ``run_series`` — the faithful sequential driver (one CSV per member, same
+  folder naming), or
+* ``run_series_vmapped`` — the TPU-first version: scene parameters become a
+  batch axis (``vmap`` over the scene pytree), all members trace in one
+  device call.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import DetectorGrid, SphereScene, Source, TraceConfig
+from ..core.score import fluxmap_trace_once
+from ..core.trace import trace_rays
+from .observer import SweepResult, sweep_detector_trace_once
+
+
+def series_folder(prefix: str, source: Source, tag) -> str:
+    """Folder naming of sweepSeries (``fluxAtObserverFast.C:1648-1653``):
+    ``{prefix}_{srcX}_{srcY}_{srcZ}_{tag}`` with int-truncated cm."""
+    return (f"{prefix}_{int(float(source.x))}_{int(float(source.y))}_"
+            f"{int(float(source.z))}_{int(tag)}")
+
+
+def run_series(
+    base_scene: SphereScene,
+    source: Source,
+    *,
+    port_angles: Sequence[float] = (164.0,),
+    repeats: int = 5,
+    n_rays: int = 100_000,
+    grid: DetectorGrid = DetectorGrid(),
+    save_root: str | None = ".",
+    prefix: str = "portAngleSweep",
+    seed: int = 0,
+    cfg: TraceConfig = TraceConfig(),
+    verbose: bool = True,
+) -> list[SweepResult]:
+    """Sequential series of trace-once sweeps — one CSV per run, repeats
+    accumulate with ``_1``, ``_2``, ... suffixes in the same folder exactly
+    like the reference's repeat runs."""
+    out = []
+    s = seed
+    for port in port_angles:
+        scene = base_scene.with_(theta_max_deg=float(port))
+        folder = (os.path.join(save_root, series_folder(prefix, source, port))
+                  if save_root is not None else None)
+        for r in range(repeats):
+            res = sweep_detector_trace_once(
+                scene, source, n_rays=n_rays, grid=grid, seed=s,
+                cfg=cfg, save_folder=folder, verbose=verbose)
+            out.append(res)
+            s += 1
+    if verbose:
+        print("\n***** ALL SWEEP SERIES COMPLETE *****\n")
+    return out
+
+
+def stack_scenes(base: SphereScene, **param_arrays) -> SphereScene:
+    """Build a batched scene pytree: each kwarg is an array over the series
+    axis; remaining fields broadcast.  E.g.
+    ``stack_scenes(SCENE_OPTIMIZE, theta_max_deg=jnp.arange(163, 179))``."""
+    n = len(next(iter(param_arrays.values())))
+    fields = {}
+    for f in dataclasses.fields(base):
+        if f.name in ("surface_model", "max_bounces"):
+            continue
+        v = param_arrays.get(f.name)
+        if v is None:
+            v = jnp.full((n,), float(getattr(base, f.name)), jnp.float32)
+        else:
+            v = jnp.asarray(v, jnp.float32)
+        fields[f.name] = v
+    return dataclasses.replace(base, **fields)
+
+
+def run_series_vmapped(
+    base_scene: SphereScene,
+    source: Source,
+    *,
+    port_angles: Sequence[float],
+    n_rays: int = 100_000,
+    grid: DetectorGrid = DetectorGrid(),
+    seed: int = 0,
+    cfg: TraceConfig = TraceConfig(),
+):
+    """All series members in one device call: ``vmap`` over the scene batch
+    axis.  Returns (fluxmaps [S, n_theta, n_phi] counts, exits [S])."""
+    scenes = stack_scenes(
+        base_scene, theta_max_deg=jnp.asarray(port_angles, jnp.float32))
+
+    @jax.jit
+    def run(key):
+        def one(i, scene):
+            res = trace_rays(jax.random.fold_in(key, i), scene, source,
+                             n_rays, cfg)
+            counts = fluxmap_trace_once(res, grid, scene.exit_port_z)
+            return counts, res.exited_port_mask(scene.exit_port_z).sum()
+
+        return jax.lax.map(
+            lambda args: one(args[0], args[1]),
+            (jnp.arange(len(port_angles)), scenes))
+
+    counts, exits = run(jax.random.key(seed))
+    return np.asarray(counts), np.asarray(exits)

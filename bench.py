@@ -1,0 +1,76 @@
+#!/usr/bin/env python
+"""Headline benchmark — the reference's own headline workload.
+
+Workload: trace 100,000 rays through the production scene (port 170 deg,
+reflectance 0.99, roughness 0.01, source (-60, 0, -75) cm, dir (5, 0, 0)) and
+score the full 180x90 observer flux map — exactly the job of
+``sweepDetectorTraceOnce`` (``fluxAtObserverFast.C:1068-1397``).
+
+Baseline (BASELINE.md): the reference's best total for this exact config is
+210.5 s on a 4-thread CPU (trace 0.92-7.4 s + scoring 104-2191 s); the
+retrace variant of the same map took 7,926-14,774 s.  ``vs_baseline`` is the
+speedup over the reference's BEST trace-once total (210.5 s).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import argparse
+import json
+import sys
+import time
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rays", type=int, default=100_000)
+    ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--max-bounces", type=int, default=4096,
+                    help="bounce cap; P(alive > 2000 bounces) < 1e-15 for "
+                         "the production scene, so 4096 is exact in practice")
+    args = ap.parse_args()
+
+    import jax
+
+    from altair_tpu import DetectorGrid, SCENE_OPTIMIZE, SOURCE_OVERNIGHT, TraceConfig
+    from altair_tpu.core.score import fluxmap_trace_once
+    from altair_tpu.core.trace import trace_rays
+
+    scene = SCENE_OPTIMIZE.with_(max_bounces=args.max_bounces)
+    source = SOURCE_OVERNIGHT
+    grid = DetectorGrid()
+    cfg = TraceConfig()
+
+    @jax.jit
+    def fluxmap(key):
+        res = trace_rays(key, scene, source, args.rays, cfg)
+        counts = fluxmap_trace_once(res, grid, scene.exit_port_z)
+        n_exit = res.exited_port_mask(scene.exit_port_z).sum()
+        return counts, n_exit
+
+    # compile (excluded, like the reference's ACLiC build)
+    counts, n_exit = jax.block_until_ready(fluxmap(jax.random.key(0)))
+
+    times = []
+    for i in range(args.repeats):
+        t0 = time.perf_counter()
+        counts, n_exit = jax.block_until_ready(fluxmap(jax.random.key(i + 1)))
+        times.append(time.perf_counter() - t0)
+    wall = min(times)
+
+    exit_frac = float(n_exit) / args.rays
+    sys.stderr.write(
+        f"# device={jax.devices()[0].device_kind} times={times} "
+        f"exit_frac={exit_frac:.4f} (corpus 0.423-0.428) "
+        f"peak_frac={float(counts.max()) / args.rays:.5f}\n")
+
+    baseline_best_s = 210.5  # reference trace-once best total, BASELINE.md
+    print(json.dumps({
+        "metric": "fluxmap_traceonce_100k_180x90_wall",
+        "value": round(wall, 6),
+        "unit": "seconds",
+        "vs_baseline": round(baseline_best_s / wall, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

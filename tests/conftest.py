@@ -1,0 +1,26 @@
+"""Test harness configuration.
+
+Forces the CPU backend with 8 virtual devices so the sharding/multi-chip
+tests run anywhere (SURVEY.md §4.6: the fake multi-chip backend).  The
+real-TPU benchmarks live in bench.py, not the test suite.
+
+Note: this environment's sitecustomize registers a remote-TPU PJRT plugin
+("axon") at interpreter boot and rewrites JAX_PLATFORMS, so plain
+``JAX_PLATFORMS=cpu`` in the shell is NOT enough — the config must be forced
+after jax import but before backend initialisation, which is exactly what
+this conftest does (it is imported before any test module).
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_threefry_partitionable", True)

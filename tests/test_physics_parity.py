@@ -1,0 +1,143 @@
+"""Golden-value parity against the reference's retained data corpus.
+
+The golden numbers below are summary statistics extracted from
+``/root/reference`` result files (data constants, not code):
+
+* Exit fractions per port angle — CSV footers ``# Total rays exiting port``
+  (BASELINE.md): 160deg -> 74.6-75.1%, 164deg -> 65.4-65.7%,
+  170deg -> 42.3-42.8%.
+* Flux-map theta profile — mean over the 3 complete repeat runs of
+  ``results_overnight_03_31-60_0_-75_5`` (``sweepDetector`` retrace method,
+  ``fluxAtObserverOptimize.C:433-702``; port 170deg, reflectance 0.99,
+  roughness 0.01, source (-60, 0, -75) cm, direction (5, 0, 0), 40x40 cm
+  detector at 100 cm, 50k rays x 16200 positions).
+
+KNOWN REFERENCE-INTERNAL INCONSISTENCY (documented, deliberate): the
+reference's *trace-once* corpus (``trace_once_test_04_2-60_0_-75_5``,
+``portAngleSweep_*``) disagrees with its own *retrace* corpus by up to 1.7x
+at low theta (e.g. theta=0.25deg: retrace 0.0156 vs trace-once 0.0092),
+despite identical metadata.  The retained ``sweepDetectorTraceOnce`` code
+(``fluxAtObserverFast.C:1164-1341``) tests the same infinite line as the
+retrace scorer, so the retained code CANNOT produce that difference — the
+trace-once files predate a fix.  An independent numpy Monte-Carlo oracle
+(uniform wall points + cosine emission, see TestAnalyticOracle) and the
+reference's own 3dRayLog exit-direction data both agree with the retrace
+corpus.  This framework's retrace and trace-once methods agree with each
+other and are pinned to the retrace corpus.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from altair_tpu import DetectorGrid, SCENE_OPTIMIZE, SOURCE_OVERNIGHT
+from altair_tpu.core import score
+from altair_tpu.core.trace import EXITED, exit_count, trace_rays_jit
+
+# [theta_deg, mean fraction, stderr] — retrace corpus, port 170 (see above).
+GOLDEN_PROFILE = np.array([
+    [0.25, 0.015578, 3.1e-05],
+    [10.25, 0.015103, 3.8e-05],
+    [20.25, 0.013607, 2.2e-05],
+    [30.25, 0.011005, 1.0e-05],
+    [45.25, 0.006144, 2.5e-05],
+    [60.25, 0.002263, 6e-06],
+    [75.25, 0.000424, 6e-06],
+    [85.25, 0.000126, 2e-06],
+])
+
+# Port-angle exit fractions from footers (BASELINE.md).
+GOLDEN_EXIT_FRACTIONS = {160.0: (0.74576, 0.75069),
+                         164.0: (0.65352, 0.65733),
+                         170.0: (0.42303, 0.42823)}
+
+N = 100_000
+SCENE = SCENE_OPTIMIZE.with_(max_bounces=4096)
+
+
+@pytest.fixture(scope="module")
+def result():
+    return trace_rays_jit(jax.random.key(0), SCENE, SOURCE_OVERNIGHT, N)
+
+
+class TestExitFractionParity:
+    @pytest.mark.parametrize("port", [160.0, 164.0, 170.0])
+    def test_port_angle_exit_fractions(self, port):
+        scene = SCENE.with_(theta_max_deg=port)
+        res = trace_rays_jit(jax.random.key(11), scene, SOURCE_OVERNIGHT, N)
+        frac = float(exit_count(res)) / N
+        lo, hi = GOLDEN_EXIT_FRACTIONS[port]
+        # corpus spread widened by 3 MC sigmas of our own 100k draw
+        sigma = 3 * np.sqrt(frac * (1 - frac) / N)
+        assert lo - sigma < frac < hi + sigma, (port, frac)
+
+
+class TestFluxmapParity:
+    def test_theta_profile_vs_retrace_corpus(self, result):
+        grid = DetectorGrid()
+        fm = np.asarray(score.fluxmap_trace_once(result, grid)) / N
+        prof = fm.mean(axis=1)
+        th = np.asarray(grid.theta_centers())
+        for theta_ref, frac_ref, stderr_ref in GOLDEN_PROFILE:
+            i = int(np.argmin(np.abs(th - theta_ref)))
+            ours = prof[i]
+            # tolerance: corpus stderr + our single-run MC noise (90 bins
+            # pooled) + 2% systematic headroom
+            mc = np.sqrt(max(frac_ref, 1e-6) / (N * 90 / 250))
+            tol = 3 * (stderr_ref + mc) + 0.02 * frac_ref + 2e-5
+            assert abs(ours - frac_ref) < tol, (theta_ref, ours, frac_ref)
+
+    def test_peak_bin_scale(self, result):
+        """Peak bin fraction ~1e-2, corpus 'Total ray hits' scale
+        (BASELINE.md: avg fraction 0.0054-0.0107 over the map)."""
+        grid = DetectorGrid()
+        fm = np.asarray(score.fluxmap_trace_once(result, grid)) / N
+        assert 0.010 < fm.max() < 0.022
+        assert 0.004 < fm.mean() < 0.012
+
+
+class TestAnalyticOracle:
+    def test_trace_matches_independent_oracle(self, result):
+        """Near-axis acceptance per exit ray vs a numpy-only Monte Carlo of
+        the stationary model (uniform wall points, cosine emission)."""
+        rng = np.random.default_rng(0)
+        M = 1_000_000
+        R = 100.1
+        cos_cap = np.cos(np.deg2rad(170))
+        u = rng.normal(size=(M, 3))
+        u /= np.linalg.norm(u, axis=1, keepdims=True)
+        w = u * R
+        n = -u
+        ax = np.where(np.abs(n[:, 2:3]) < 0.9, np.array([0, 0, 1.0]),
+                      np.array([1.0, 0, 0]))
+        t1 = np.cross(n, ax)
+        t1 /= np.linalg.norm(t1, axis=1, keepdims=True)
+        t2 = np.cross(n, t1)
+        u1 = rng.uniform(size=M)
+        ph = 2 * np.pi * rng.uniform(size=M)
+        ct, st = np.sqrt(u1), np.sqrt(1 - u1)
+        d = (st[:, None] * (np.cos(ph)[:, None] * t1
+                            + np.sin(ph)[:, None] * t2) + ct[:, None] * n)
+        t = -2 * np.sum(w * d, axis=1)
+        q = w + t[:, None] * d
+        exits = q[:, 2] < R * cos_cap
+        we, de = w[exits], d[exits]
+
+        # oracle near-axis acceptance (theta=0.25, phi=2 detector)
+        from altair_tpu.core.geometry import Vec3, detector_position, line_hits_disk
+        import jax.numpy as jnp
+        c, nn = detector_position(jnp.float32(0.25), jnp.float32(2.0), 100.0)
+        hits = line_hits_disk(
+            Vec3(jnp.asarray(we[:, 0], jnp.float32),
+                 jnp.asarray(we[:, 1], jnp.float32),
+                 jnp.asarray(we[:, 2], jnp.float32)),
+            Vec3(jnp.asarray(de[:, 0], jnp.float32),
+                 jnp.asarray(de[:, 1], jnp.float32),
+                 jnp.asarray(de[:, 2], jnp.float32)),
+            c, nn, 20.0)
+        oracle = float(np.asarray(hits).mean())
+
+        ours = int(score.hits_single_detector(result, c, nn, 20.0))
+        n_exit = int(exit_count(result))
+        per_exit = ours / n_exit
+        assert abs(per_exit - oracle) < 0.003, (per_exit, oracle)
