@@ -1,0 +1,201 @@
+"""Command-line interface.
+
+The reference has no CLI — every experiment is an interactively-invoked ROOT
+macro with hand-edited parameter packs (SURVEY.md §5.6).  This CLI gives each
+reference entry point a subcommand with the same knobs and defaults:
+
+  altair-tpu fluxmap        <- sweepDetectorTraceOnce / sweepDetector
+  altair-tpu series         <- sweepSeries (port-angle / repeat series)
+  altair-tpu distribution   <- distributionSphereDetectorSweep + NRays count
+  altair-tpu insphere       <- integratingSphereDetectorSweep
+  altair-tpu visualize      <- visualizeDetector (PNG instead of OpenGL)
+  altair-tpu analyze        <- flux_analysis.py
+
+(The timing-footer benchmark lives at the repo root: ``python bench.py``.)
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _add_scene_args(p: argparse.ArgumentParser):
+    p.add_argument("--port-angle", type=float, default=170.0,
+                   help="exit-port angle thetaMax in degrees (default 170)")
+    p.add_argument("--reflectance", type=float, default=0.99)
+    p.add_argument("--roughness", type=float, default=0.01)
+    p.add_argument("--max-bounces", type=int, default=50000)
+    p.add_argument("--surface", default="lambertian",
+                   choices=["lambertian", "specular", "mixed", "cosn"])
+    p.add_argument("--src", type=float, nargs=3, default=[-60.0, 0.0, -75.0],
+                   metavar=("X", "Y", "Z"))
+    p.add_argument("--dir", type=float, nargs=3, default=[5.0, 0.0, 0.0],
+                   metavar=("DX", "DY", "DZ"))
+    p.add_argument("--seed", type=int, default=0)
+
+
+def _scene_source(args):
+    from .config import SphereScene, Source, SurfaceModel
+
+    model = {"lambertian": SurfaceModel.LAMBERTIAN,
+             "specular": SurfaceModel.SPECULAR,
+             "mixed": SurfaceModel.MIXED_BRDF,
+             "cosn": SurfaceModel.COS_N_LOBE}[args.surface]
+    scene = SphereScene(
+        theta_max_deg=args.port_angle, reflectance=args.reflectance,
+        roughness=args.roughness, max_bounces=args.max_bounces,
+        surface_model=model)
+    source = Source(x=args.src[0], y=args.src[1], z=args.src[2],
+                    dir_x=args.dir[0], dir_y=args.dir[1], dir_z=args.dir[2])
+    return scene, source
+
+
+def cmd_fluxmap(args):
+    from .config import DetectorGrid
+    from .sweep import sweep_detector_retrace, sweep_detector_trace_once
+
+    scene, source = _scene_source(args)
+    grid = DetectorGrid(n_theta=args.theta_bins, n_phi=args.phi_bins,
+                        width=args.detector_size, height=args.detector_size)
+    if args.method == "trace-once":
+        res = sweep_detector_trace_once(
+            scene, source, n_rays=args.rays, grid=grid, seed=args.seed,
+            save_folder=args.out, notify=args.notify)
+    else:
+        res = sweep_detector_retrace(
+            scene, source, n_rays_per_pos=args.rays, grid=grid,
+            seed=args.seed, save_folder=args.out, notify=args.notify,
+            resume_path=args.resume)
+    print(f"total {res.total_time_s:.3f}s  trace {res.trace_time_s:.3f}s")
+    return 0
+
+
+def cmd_series(args):
+    from .sweep import run_series
+
+    scene, source = _scene_source(args)
+    run_series(scene, source, port_angles=args.port_angles,
+               repeats=args.repeats, n_rays=args.rays, save_root=args.out)
+    return 0
+
+
+def cmd_distribution(args):
+    from .sweep import run_distribution, write_angular_dist, write_ray_log
+
+    scene, source = _scene_source(args)
+    d = run_distribution(scene, source, n_rays=args.rays, seed=args.seed)
+    print(f"Flux of rays through the exit port: {d.n_exited}")
+    if args.ray_log:
+        write_ray_log(args.ray_log, d.directions)
+    if args.angular_dist:
+        write_angular_dist(args.angular_dist, d.dz_hist)
+    return 0
+
+
+def cmd_insphere(args):
+    from .sweep import sweep_insphere_detector
+
+    scene, source = _scene_source(args)
+    scene = scene.with_(outer_radius=105.0, world_half=200.0)
+    r = sweep_insphere_detector(
+        scene, source, disk_radius=args.disk_radius, n_rays=args.rays,
+        dtheta=args.dtheta, theta_max=args.theta_max,
+        save_path=args.out_file, retrace=args.retrace)
+    print(f"{len(r.thetas)} positions in {r.wall_time_s:.2f}s -> "
+          f"{args.out_file}")
+    return 0
+
+
+def cmd_visualize(args):
+    from .viz import plot_rays, print_census, trace_paths
+
+    scene, source = _scene_source(args)
+    paths = trace_paths(scene, source, n_rays=args.rays, seed=args.seed,
+                        detector_theta=args.det_theta,
+                        detector_phi=args.det_phi)
+    print_census(paths, args.rays)
+    plot_rays(paths, scene, only_show_red=args.only_red,
+              save_path=args.out_file)
+    print(f"saved {args.out_file}")
+    return 0
+
+
+def cmd_analyze(args):
+    from .analysis import analyze
+
+    analyze(args.path, average_mode=args.average)
+    return 0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(
+        prog="altair-tpu",
+        description="TPU-native integrating-sphere photon tracer")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("fluxmap", help="observer flux-map sweep")
+    _add_scene_args(p)
+    p.add_argument("--method", choices=["trace-once", "retrace"],
+                   default="trace-once")
+    p.add_argument("--rays", type=int, default=100_000,
+                   help="total rays (trace-once) or rays per position")
+    p.add_argument("--theta-bins", type=int, default=180)
+    p.add_argument("--phi-bins", type=int, default=90)
+    p.add_argument("--detector-size", type=float, default=40.0)
+    p.add_argument("--out", default="results")
+    p.add_argument("--resume", default=None,
+                   help="partial CSV from a killed retrace run")
+    p.add_argument("--notify", action="store_true")
+    p.set_defaults(fn=cmd_fluxmap)
+
+    p = sub.add_parser("series", help="port-angle / repeat sweep series")
+    _add_scene_args(p)
+    p.add_argument("--port-angles", type=float, nargs="+",
+                   default=[164.0])
+    p.add_argument("--repeats", type=int, default=5)
+    p.add_argument("--rays", type=int, default=100_000)
+    p.add_argument("--out", default=".")
+    p.set_defaults(fn=cmd_series)
+
+    p = sub.add_parser("distribution", help="exit angular distribution")
+    _add_scene_args(p)
+    p.add_argument("--rays", type=int, default=10_000)
+    p.add_argument("--ray-log", default=None,
+                   help="write 3dRayLog.txt-dialect directions here")
+    p.add_argument("--angular-dist", default=None,
+                   help="write angular_dist.txt-dialect histogram here")
+    p.set_defaults(fn=cmd_distribution)
+
+    p = sub.add_parser("insphere", help="in-sphere detector-disk sweep")
+    _add_scene_args(p)
+    p.add_argument("--rays", type=int, default=100_000)
+    p.add_argument("--disk-radius", type=float, default=5.0)
+    p.add_argument("--dtheta", type=float, default=0.5)
+    p.add_argument("--theta-max", type=float, default=45.0)
+    p.add_argument("--retrace", action="store_true",
+                   help="re-trace per position (reference methodology)")
+    p.add_argument("--out-file", default="detector_sweep3.txt")
+    p.set_defaults(fn=cmd_insphere)
+
+    p = sub.add_parser("visualize", help="ray-path classification plot")
+    _add_scene_args(p)
+    p.add_argument("--rays", type=int, default=100)
+    p.add_argument("--det-theta", type=float, default=45.0)
+    p.add_argument("--det-phi", type=float, default=0.0)
+    p.add_argument("--only-red", action="store_true",
+                   help="showRedRaysOnly mode")
+    p.add_argument("--out-file", default="rays.png")
+    p.set_defaults(fn=cmd_visualize)
+
+    p = sub.add_parser("analyze", help="flux-map analysis/plots")
+    p.add_argument("path")
+    p.add_argument("--average", action="store_true")
+    p.set_defaults(fn=cmd_analyze)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":  # pragma: no cover
+    sys.exit(main())

@@ -53,7 +53,11 @@ def main():
     times = []
     for i in range(args.repeats):
         t0 = time.perf_counter()
-        counts, n_exit = jax.block_until_ready(fluxmap(jax.random.key(i + 1)))
+        counts, n_exit = fluxmap(jax.random.key(i + 1))
+        # force full materialisation + device->host readback inside the timed
+        # region (block_until_ready alone can return early through async
+        # remote-execution transports)
+        n_exit_host = int(n_exit)
         times.append(time.perf_counter() - t0)
     wall = min(times)
 

@@ -1,0 +1,164 @@
+"""Sweep drivers: trace-once / retrace / twofold consistency, CSV output,
+series, distribution, in-sphere (SURVEY.md §7.5)."""
+
+import glob
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from altair_tpu import (
+    DetectorGrid,
+    SCENE_DEMO,
+    SCENE_INSPHERE,
+    SCENE_OPTIMIZE,
+    SOURCE_DEMO,
+    SOURCE_OVERNIGHT,
+    TraceConfig,
+)
+from altair_tpu.analysis import expected_exit_fraction
+from altair_tpu.io import read_fluxmap
+from altair_tpu.sweep import (
+    read_detector_sweep,
+    run_distribution,
+    run_series,
+    run_series_vmapped,
+    series_folder,
+    sweep_detector_retrace,
+    sweep_detector_trace_once,
+    sweep_detector_twofold,
+    sweep_insphere_detector,
+    write_angular_dist,
+    write_ray_log,
+)
+
+SCENE = SCENE_OPTIMIZE.with_(max_bounces=2048)
+GRID = DetectorGrid(n_theta=12, n_phi=6)
+
+
+class TestTraceOnceSweep:
+    def test_end_to_end_csv(self, tmp_path):
+        res = sweep_detector_trace_once(
+            SCENE, SOURCE_OVERNIGHT, n_rays=20_000, grid=GRID, seed=0,
+            save_folder=str(tmp_path), verbose=False)
+        assert os.path.exists(res.path)
+        theta, phi, frac, md = read_fluxmap(res.path)
+        assert len(theta) == GRID.n_positions
+        np.testing.assert_allclose(
+            frac.reshape(GRID.n_theta, GRID.n_phi), res.fluxmap, atol=1e-6)
+        assert md["Exit port angle"] == "170 degrees"
+        assert "Total rays exiting port" in md
+        assert 0.41 < res.n_exited / 20_000 < 0.445
+
+    def test_no_save(self):
+        res = sweep_detector_trace_once(
+            SCENE, SOURCE_OVERNIGHT, n_rays=5_000, grid=GRID, seed=1,
+            save_folder=None, verbose=False)
+        assert res.path is None
+        assert res.fluxmap.shape == (GRID.n_theta, GRID.n_phi)
+
+
+class TestRetraceSweep:
+    def test_matches_trace_once(self, tmp_path):
+        grid = DetectorGrid(n_theta=4, n_phi=2)
+        once = sweep_detector_trace_once(
+            SCENE, SOURCE_OVERNIGHT, n_rays=40_000, grid=grid, seed=2,
+            save_folder=None, verbose=False)
+        re = sweep_detector_retrace(
+            SCENE, SOURCE_OVERNIGHT, n_rays_per_pos=5_000, grid=grid,
+            seed=3, save_folder=str(tmp_path), pos_chunk=2, verbose=False)
+        sigma = np.sqrt(np.maximum(once.fluxmap, 1e-6) / 5_000) * 3 + 0.004
+        assert (np.abs(re.fluxmap - once.fluxmap) < sigma).all()
+        # footer contract
+        _, _, _, md = read_fluxmap(re.path)
+        assert "Total ray hits" in md
+
+
+class TestTwofoldSweep:
+    def test_matches_trace_once(self):
+        grid = DetectorGrid(n_theta=2, n_phi=4)
+        once = sweep_detector_trace_once(
+            SCENE, SOURCE_OVERNIGHT, n_rays=40_000, grid=grid, seed=4,
+            save_folder=None, verbose=False)
+        two = sweep_detector_twofold(
+            SCENE, SOURCE_OVERNIGHT, n_rays_per_pair=10_000, grid=grid,
+            seed=5, save_folder=None, verbose=False)
+        sigma = np.sqrt(np.maximum(once.fluxmap, 1e-6) / 10_000) * 3 + 0.004
+        assert (np.abs(two.fluxmap - once.fluxmap) < sigma).all()
+
+
+class TestSeries:
+    def test_sequential_series_folders(self, tmp_path):
+        out = run_series(
+            SCENE, SOURCE_OVERNIGHT, port_angles=[164.0], repeats=2,
+            n_rays=5_000, grid=DetectorGrid(n_theta=3, n_phi=2),
+            save_root=str(tmp_path), seed=0, verbose=False)
+        assert len(out) == 2
+        folder = os.path.join(
+            str(tmp_path), series_folder("portAngleSweep", SOURCE_OVERNIGHT,
+                                         164.0))
+        files = sorted(glob.glob(os.path.join(folder, "*.csv")))
+        assert len(files) == 2
+        assert files[1].endswith("_1.csv")  # repeat suffixing
+
+    def test_vmapped_series_exit_fractions(self):
+        ports = [160.0, 170.0]
+        counts, exits = run_series_vmapped(
+            SCENE, SOURCE_OVERNIGHT, port_angles=ports, n_rays=20_000,
+            grid=DetectorGrid(n_theta=3, n_phi=2), seed=1)
+        assert counts.shape == (2, 3, 2)
+        for p, e in zip(ports, exits):
+            expect = expected_exit_fraction(p, 0.99)
+            assert abs(e / 20_000 - expect) < 0.015, (p, e)
+
+
+class TestDistribution:
+    def test_run_and_write(self, tmp_path):
+        d = run_distribution(SCENE_DEMO.with_(max_bounces=2048), SOURCE_DEMO,
+                             n_rays=5_000)
+        # demo scene has reflectance 1.0: every ray exits
+        assert d.n_exited > 4_990
+        assert d.angle_hist.sum() <= d.n_exited
+        assert d.dz_hist.sum() == d.n_exited
+        assert d.directions.shape == (d.n_exited, 3)
+
+        p1 = str(tmp_path / "angular_dist.txt")
+        p2 = str(tmp_path / "3dRayLog.txt")
+        write_angular_dist(p1, d.dz_hist)
+        write_ray_log(p2, d.directions)
+        a = np.loadtxt(p1)
+        assert a.shape == (100, 2)
+        assert a[:, 1].sum() == d.n_exited
+        logs = np.loadtxt(p2)
+        assert logs.shape == (d.n_exited, 3)
+        with open(p1) as fh:
+            assert fh.readline().strip() == "# bin_center content"
+        with open(p2) as fh:
+            assert fh.readline().strip() == "# dx dy dz"
+
+
+class TestInsphere:
+    def test_sweep_and_dialect(self, tmp_path):
+        path = str(tmp_path / "detector_sweep3.txt")
+        r = sweep_insphere_detector(
+            SCENE_INSPHERE.with_(max_bounces=2048), SOURCE_DEMO,
+            n_rays=20_000, dtheta=15.0, save_path=path)
+        t, p, f = read_detector_sweep(path)
+        np.testing.assert_allclose(t, r.thetas)
+        np.testing.assert_allclose(f, r.fractions, atol=1e-6)
+        # on-axis positions see the most flux
+        on_axis = f[np.abs(t) < 1e-9].mean()
+        edge = f[np.abs(np.abs(t) - 45) < 1e-9].mean()
+        assert on_axis > edge
+
+    def test_retrace_mode_agrees(self):
+        kw = dict(n_rays=20_000, dtheta=45.0, theta_max=45.0,
+                  save_path=None)
+        a = sweep_insphere_detector(
+            SCENE_INSPHERE.with_(max_bounces=2048), SOURCE_DEMO,
+            retrace=False, seed=0, **kw)
+        b = sweep_insphere_detector(
+            SCENE_INSPHERE.with_(max_bounces=2048), SOURCE_DEMO,
+            retrace=True, seed=1, **kw)
+        assert (np.abs(a.fractions - b.fractions) < 0.002).all()
