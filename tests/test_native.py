@@ -1,0 +1,97 @@
+"""Native C++ engine tier vs the JAX path — two independent implementations
+of the same physics must agree statistically (trace) and exactly (scorer,
+given identical segments)."""
+
+import subprocess
+
+import numpy as np
+import pytest
+
+from altair_tpu import DetectorGrid, SCENE_OPTIMIZE, SOURCE_OVERNIGHT, native
+
+pytestmark = pytest.mark.skipif(
+    not native.available(),
+    reason="native library not built (make -C native)")
+
+SCENE = SCENE_OPTIMIZE.with_(max_bounces=4096)
+
+
+@pytest.fixture(scope="module")
+def nres():
+    return native.trace_rays_native(SCENE, SOURCE_OVERNIGHT, 50_000, seed=7)
+
+
+class TestNativeTrace:
+    def test_exit_fraction_matches_corpus(self, nres):
+        frac = nres.n_exited / 50_000
+        assert 0.415 < frac < 0.44, frac
+
+    def test_statuses_and_geometry(self, nres):
+        assert set(np.unique(nres.status)) <= {1, 2}
+        absorbed = nres.last_point[nres.status == 2]
+        np.testing.assert_allclose(
+            np.linalg.norm(absorbed, axis=1), 100.1, rtol=1e-9)
+        exited = nres.last_point[nres.status == 1]
+        assert (np.abs(exited).max(axis=1) > 299.0).all()  # on the world box
+
+    def test_bounce_statistics(self, nres):
+        mean = nres.n_bounces.mean()
+        assert 50 < mean < 65
+
+    def test_deterministic(self):
+        a = native.trace_rays_native(SCENE, SOURCE_OVERNIGHT, 2_000, seed=3)
+        b = native.trace_rays_native(SCENE, SOURCE_OVERNIGHT, 2_000, seed=3)
+        np.testing.assert_array_equal(a.last_point, b.last_point)
+
+    def test_agrees_with_jax_profile(self, nres):
+        """Flux-map theta profile from the native path within MC error of
+        the JAX path (and of the golden retrace corpus)."""
+        grid = DetectorGrid(n_theta=18, n_phi=9)
+        fm = native.fluxmap_trace_once_native(nres, grid) / 50_000
+        prof = fm.mean(axis=1)
+        # coarse profile vs the retrace corpus shape (each coarse bin is a
+        # SINGLE detector position, so per-bin MC spread is larger than on
+        # the 180x90 grid)
+        assert abs(prof[0] - 0.0152) < 0.002
+        assert abs(prof[9] - 0.0055) < 0.0015
+        assert prof[17] < 0.0008
+
+
+class TestNativeScorer:
+    def test_exact_match_with_jax_scorer(self, nres):
+        """Given the SAME segments, the native scorer and the JAX matmul
+        scorer must agree bin-for-bin exactly (same test, fp64 vs fp32 —
+        tolerance 0 on counts away from the rim, tiny slack for boundary
+        flips)."""
+        import jax.numpy as jnp
+
+        from altair_tpu.core.score import fluxmap_trace_once
+        from altair_tpu.core.trace import TraceResult
+        from altair_tpu.core.geometry import Vec3
+
+        grid = DetectorGrid(n_theta=12, n_phi=6)
+        native_fm = native.fluxmap_trace_once_native(nres, grid)
+
+        res = TraceResult(
+            status=jnp.asarray(nres.status),
+            last_point=Vec3.from_dense(jnp.asarray(nres.last_point,
+                                                   jnp.float32)),
+            seg_start=Vec3.from_dense(jnp.asarray(nres.seg_start,
+                                                  jnp.float32)),
+            direction=Vec3.from_dense(jnp.asarray(nres.direction,
+                                                  jnp.float32)),
+            n_bounces=jnp.asarray(nres.n_bounces),
+        )
+        jax_fm = np.asarray(fluxmap_trace_once(res, grid))
+        # fp32 rim flips: allow <=0.2% relative disagreement per bin
+        diff = np.abs(jax_fm - native_fm)
+        assert (diff <= np.maximum(2, 0.002 * native_fm)).all(), diff.max()
+
+    def test_detector_grid_matches_reference_quirk(self):
+        from altair_tpu.core.score import grid_centers_normals
+
+        grid = DetectorGrid(n_theta=5, n_phi=4)
+        cn, nn = native.detector_grid_native(grid)
+        C, N = grid_centers_normals(grid)
+        np.testing.assert_allclose(cn, np.asarray(C), atol=1e-4)
+        np.testing.assert_allclose(nn, np.asarray(N), atol=1e-6)
