@@ -1,0 +1,313 @@
+"""Pallas TPU bounce kernel — the hot loop of the framework.
+
+The XLA `lax.while_loop` kernel (core/trace.py) re-reads and re-writes its
+~12-array SoA state from HBM every bounce iteration and pays the threefry
+cost for its per-bounce draws.  This Pallas version pins the whole ray state
+of a lane block in VMEM for the entire bounce loop and draws randoms from
+the TPU's native PRNG (`pltpu.prng_seed` / `prng_random_bits`), so one
+kernel invocation runs a block of rays from source to termination with zero
+intermediate HBM traffic.
+
+Supports the production scatter law (Lambertian walls — the path every
+benchmark and the entire reference corpus uses).  Other BRDFs run on the
+XLA kernel; `trace_rays_fast` dispatches accordingly.
+
+Layout: lanes are a (SUB, 128) tile per block (SUB sublanes x 128 lanes),
+`grid = N / (SUB*128)` blocks.  Outputs match `TraceResult`.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import SphereScene, Source, SurfaceModel, TraceConfig
+from .geometry import Vec3
+from .trace import ABSORBED, EXITED, RUNNING, SUSPENDED, TraceResult, trace_rays
+
+# Lane-block geometry: (SUB, 128) rays per kernel instance.
+SUB = 128
+BLOCK = SUB * 128  # 16384 rays per block
+INNER_ITERS = 64   # bounce iterations between all-dead checks (the while
+                   # cond is a vector->scalar reduction that stalls the
+                   # pipeline; amortise it like the XLA kernel's block_iters)
+
+_INV24 = float(2.0 ** -24)
+
+
+def _uniform(shape):
+    """[0,1) f32 uniforms from the on-chip PRNG (24-bit mantissa draw).
+
+    The raw bits must be bitcast to uint32 first: as int32 the right-shift
+    is arithmetic and half the draws come out negative.
+    """
+    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    # Mosaic has no uint32->f32 convert; after >>8 the value fits in 24 bits
+    # so a bitcast to int32 is value-preserving and int32->f32 is supported.
+    return pltpu.bitcast(bits >> 8, jnp.int32).astype(jnp.float32) * _INV24
+
+
+def _lambertian_kernel(seed_ref, scene_ref, src_ref, zeros_ref, status_ref,
+                       lastx_ref, lasty_ref, lastz_ref, segx_ref, segy_ref,
+                       segz_ref, dirx_ref, diry_ref, dirz_ref, bounces_ref):
+    """One block of rays, full bounce loop, Lambertian walls.
+
+    scene_ref (SMEM, f32[8]): [inner_radius, cos_cap (= r*cos(theta_max)),
+      reflectance, world_half, exit_port_z, max_bounces, 0, 0]
+    src_ref (SMEM, f32[8]): [x, y, z, dx, dy, dz, 0, 0]  (dir normalised)
+    """
+    pltpu.prng_seed(seed_ref[0], pl.program_id(0))
+
+    radius = scene_ref[0]
+    cos_cap = scene_ref[1]
+    reflectance = scene_ref[2]
+    world_half = scene_ref[3]
+    max_bounces = scene_ref[5].astype(jnp.int32)
+
+    shape = (SUB, 128)
+    f32 = jnp.float32
+
+    # a materialised zero loaded from VMEM: keeps every while-carry layout
+    # tiled from iteration 0 (a scalar splat — or anything Mosaic constant-
+    # folds to one, like iota*0 — gets a replicated layout that cannot be
+    # re-layouted at the carry boundary)
+    zt = zeros_ref[:]
+    zi = zt.astype(jnp.int32)
+
+    px = src_ref[0] + zt
+    py = src_ref[1] + zt
+    pz = src_ref[2] + zt
+    dx = src_ref[3] + zt
+    dy = src_ref[4] + zt
+    dz = src_ref[5] + zt
+    prevx, prevy, prevz = px, py, pz
+    status = zi
+    bounces = zi
+
+    def cond(carry):
+        it, status, *_ = carry
+        return (it < max_bounces) & jnp.any(status == RUNNING)
+
+    def bounce(carry):
+        (it, status, px, py, pz, dx, dy, dz, prevx, prevy, prevz,
+         bounces) = carry
+        active = status == RUNNING
+
+        # advance to the shell surface: t = -b + sqrt(b^2 - c)
+        b = px * dx + py * dy + pz * dz
+        c = px * px + py * py + pz * pz - radius * radius
+        disc = jnp.maximum(b * b - c, 0.0)
+        t = jnp.maximum(-b + jnp.sqrt(disc), 0.0)
+        qx = px + dx * t
+        qy = py + dy * t
+        qz = pz + dz * t
+        rn = radius * jax.lax.rsqrt(qx * qx + qy * qy + qz * qz)
+        qx, qy, qz = qx * rn, qy * rn, qz * rn
+
+        escaped = qz < cos_cap
+
+        u = _uniform(shape)
+        survive = u < reflectance
+
+        # cosine-weighted hemisphere about the inward normal n = -q/r
+        nx = -qx * (1.0 / radius)
+        ny = -qy * (1.0 / radius)
+        nz = -qz * (1.0 / radius)
+        u1 = _uniform(shape)
+        u2 = _uniform(shape)
+        ct = jnp.sqrt(u1)
+        st = jnp.sqrt(jnp.maximum(1.0 - u1, 0.0))
+        ph = 6.2831853071795864 * u2
+        # branchless ONB (Duff et al.) — matches core.geometry
+        sign = jnp.where(nz >= 0, 1.0, -1.0).astype(f32)
+        a = -1.0 / (sign + nz)
+        bb = nx * ny * a
+        t1x = 1.0 + sign * nx * nx * a
+        t1y = sign * bb
+        t1z = -sign * nx
+        t2x = bb
+        t2y = sign + ny * ny * a
+        t2z = -ny
+        cp = jnp.cos(ph)
+        sp = jnp.sin(ph)
+        ndx = st * (cp * t1x + sp * t2x) + ct * nx
+        ndy = st * (cp * t1y + sp * t2y) + ct * ny
+        ndz = st * (cp * t1z + sp * t2z) + ct * nz
+        inv = jax.lax.rsqrt(ndx * ndx + ndy * ndy + ndz * ndz)
+        ndx, ndy, ndz = ndx * inv, ndy * inv, ndz * inv
+
+        # escaped rays fly to the world box
+        def axis_t(pc, dc):
+            face = jnp.where(dc >= 0, world_half, -world_half)
+            return jnp.where(dc == 0, jnp.inf, (face - pc) / dc)
+
+        tb = jnp.minimum(axis_t(px, dx),
+                         jnp.minimum(axis_t(py, dy), axis_t(pz, dz)))
+        bx = px + dx * tb
+        by = py + dy * tb
+        bz = pz + dz * tb
+
+        new_status = jnp.where(
+            escaped, EXITED, jnp.where(survive, RUNNING, ABSORBED)
+        ).astype(jnp.int32)
+        status = jnp.where(active, new_status, status)
+        prevx = jnp.where(active, px, prevx)
+        prevy = jnp.where(active, py, prevy)
+        prevz = jnp.where(active, pz, prevz)
+        px = jnp.where(active, jnp.where(escaped, bx, qx), px)
+        py = jnp.where(active, jnp.where(escaped, by, qy), py)
+        pz = jnp.where(active, jnp.where(escaped, bz, qz), pz)
+        upd_dir = active & ~escaped & survive
+        dx = jnp.where(upd_dir, ndx, dx)
+        dy = jnp.where(upd_dir, ndy, dy)
+        dz = jnp.where(upd_dir, ndz, dz)
+        bounces = jnp.where(active & ~escaped, bounces + 1, bounces)
+
+        return (it + 1, status, px, py, pz, dx, dy, dz, prevx, prevy,
+                prevz, bounces)
+
+    def body(carry):
+        return jax.lax.fori_loop(0, INNER_ITERS, lambda j, c: bounce(c),
+                                 carry)
+
+    init = (jnp.zeros((), jnp.int32), status, px, py, pz, dx, dy, dz,
+            prevx, prevy, prevz, bounces)
+    (_, status, px, py, pz, dx, dy, dz, prevx, prevy, prevz,
+     bounces) = jax.lax.while_loop(cond, body, init)
+
+    status = jnp.where(status == RUNNING, SUSPENDED, status)
+    status_ref[:] = status
+    lastx_ref[:] = px
+    lasty_ref[:] = py
+    lastz_ref[:] = pz
+    segx_ref[:] = prevx
+    segy_ref[:] = prevy
+    segz_ref[:] = prevz
+    dirx_ref[:] = dx
+    diry_ref[:] = dy
+    dirz_ref[:] = dz
+    bounces_ref[:] = bounces
+
+
+def _supported(scene: SphereScene) -> bool:
+    return (not callable(scene.surface_model)
+            and SurfaceModel(scene.surface_model) == SurfaceModel.LAMBERTIAN)
+
+
+def trace_rays_pallas(
+    key: jax.Array,
+    scene: SphereScene,
+    source: Source,
+    n_rays: int,
+    cfg: TraceConfig = TraceConfig(),
+    interpret: bool = False,
+) -> TraceResult:
+    """Pallas fast path.  ``n_rays`` must be a multiple of BLOCK (16384);
+    use ``trace_rays_fast`` for automatic padding and model dispatch.
+
+    RNG note: uses the TPU hardware PRNG seeded from ``key`` — streams
+    differ from the XLA kernel's threefry streams (statistically equivalent;
+    bit-parity between backends is impossible anyway, SURVEY.md §7 'hard
+    parts').
+    """
+    if n_rays % BLOCK:
+        raise ValueError(f"n_rays must be a multiple of {BLOCK}")
+    if not _supported(scene):
+        raise NotImplementedError("pallas kernel implements Lambertian walls")
+    n_blocks = n_rays // BLOCK
+
+    seed = jax.random.key_data(key).astype(jnp.uint32).ravel()[:1]
+    theta_max = jnp.deg2rad(jnp.asarray(scene.theta_max_deg, jnp.float32))
+    scene_vec = jnp.stack([
+        jnp.asarray(scene.inner_radius, jnp.float32),
+        jnp.asarray(scene.inner_radius, jnp.float32) * jnp.cos(theta_max),
+        jnp.asarray(scene.reflectance, jnp.float32),
+        jnp.asarray(scene.world_half, jnp.float32),
+        jnp.asarray(scene.exit_port_z, jnp.float32),
+        jnp.asarray(float(scene.max_bounces), jnp.float32),
+        jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32),
+    ])
+    dnorm = jnp.sqrt(
+        jnp.asarray(source.dir_x, jnp.float32) ** 2
+        + jnp.asarray(source.dir_y, jnp.float32) ** 2
+        + jnp.asarray(source.dir_z, jnp.float32) ** 2)
+    src_vec = jnp.stack([
+        jnp.asarray(source.x, jnp.float32),
+        jnp.asarray(source.y, jnp.float32),
+        jnp.asarray(source.z, jnp.float32),
+        jnp.asarray(source.dir_x, jnp.float32) / dnorm,
+        jnp.asarray(source.dir_y, jnp.float32) / dnorm,
+        jnp.asarray(source.dir_z, jnp.float32) / dnorm,
+        jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32),
+    ])
+
+    out_f32 = jax.ShapeDtypeStruct((n_blocks * SUB, 128), jnp.float32)
+    out_i32 = jax.ShapeDtypeStruct((n_blocks * SUB, 128), jnp.int32)
+    # index_map receives the scalar-prefetch refs after the grid indices
+    block_spec = pl.BlockSpec((SUB, 128), lambda i, *prefetch: (i, 0),
+                              memory_space=pltpu.VMEM)
+
+    zeros_spec = pl.BlockSpec((SUB, 128), lambda i, *prefetch: (0, 0),
+                              memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,   # seed, scene_vec, src_vec
+        grid=(n_blocks,),
+        in_specs=[zeros_spec],
+        out_specs=[block_spec] * 11,
+    )
+
+    outs = pl.pallas_call(
+        _lambertian_kernel,
+        out_shape=[out_i32] + [out_f32] * 9 + [out_i32],
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(seed, scene_vec, src_vec, jnp.zeros((SUB, 128), jnp.float32))
+
+    (status, lastx, lasty, lastz, segx, segy, segz, dirx, diry, dirz,
+     bounces) = outs
+
+    def flat(a):
+        return a.reshape(n_rays)
+
+    return TraceResult(
+        status=flat(status),
+        last_point=Vec3(flat(lastx), flat(lasty), flat(lastz)),
+        seg_start=Vec3(flat(segx), flat(segy), flat(segz)),
+        direction=Vec3(flat(dirx), flat(diry), flat(dirz)),
+        n_bounces=flat(bounces),
+    )
+
+
+def trace_rays_fast(
+    key: jax.Array,
+    scene: SphereScene,
+    source: Source,
+    n_rays: int,
+    cfg: TraceConfig = TraceConfig(),
+) -> TraceResult:
+    """Dispatch: Pallas kernel for the Lambertian production scene on TPU
+    (padding the batch up to a block multiple and truncating the result),
+    XLA kernel otherwise."""
+    use_pallas = (_supported(scene)
+                  and jax.devices()[0].platform == "tpu")
+    if not use_pallas:
+        return trace_rays(key, scene, source, n_rays, cfg)
+    padded = -(-n_rays // BLOCK) * BLOCK
+    res = trace_rays_pallas(key, scene, source, padded, cfg)
+    if padded == n_rays:
+        return res
+    sl = lambda a: a[:n_rays]
+    return TraceResult(
+        status=sl(res.status),
+        last_point=Vec3(sl(res.last_point.x), sl(res.last_point.y),
+                        sl(res.last_point.z)),
+        seg_start=Vec3(sl(res.seg_start.x), sl(res.seg_start.y),
+                       sl(res.seg_start.z)),
+        direction=Vec3(sl(res.direction.x), sl(res.direction.y),
+                       sl(res.direction.z)),
+        n_bounces=sl(res.n_bounces),
+    )

@@ -15,6 +15,11 @@ from .observer import (  # noqa: F401
     sweep_detector_trace_once,
     sweep_detector_twofold,
 )
+from .scatter_retrace import (  # noqa: F401
+    ScatterRetraceSweep,
+    sweep_scatter_retrace,
+    trace_scatter_retrace,
+)
 from .series import (  # noqa: F401
     run_series,
     run_series_vmapped,

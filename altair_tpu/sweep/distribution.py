@@ -25,6 +25,19 @@ class DistributionResult:
     directions: np.ndarray         # [n_exited, 3] exit dirs (3dRayLog)
     wall_time_s: float
 
+    def direction_histograms_2d(self, bins: int = 100):
+        """The debug 2D direction-component histograms of
+        ``distributionSphereDetectorSweep.C:52-54`` (hDirectionsXZ,
+        hDirectionsYZ, hDirectionZ): returns (xz, yz, z) count arrays over
+        [-1, 1] ranges."""
+        d = self.directions
+        xz, _, _ = np.histogram2d(d[:, 0], d[:, 2], bins=bins,
+                                  range=[[-1, 1], [-1, 1]])
+        yz, _, _ = np.histogram2d(d[:, 1], d[:, 2], bins=bins,
+                                  range=[[-1, 1], [-1, 1]])
+        z, _ = np.histogram(d[:, 2], bins=bins, range=(-1, 1))
+        return xz, yz, z
+
 
 def run_distribution(
     scene: SphereScene,

@@ -1,0 +1,137 @@
+#!/usr/bin/env python
+"""Benchmark suite — re-runs every workload of the reference baseline table
+(BASELINE.md / SURVEY.md §6) on the current backend and reports side-by-side.
+
+Usage:  python benchmarks/run_all.py [--quick] [--json OUT.json]
+
+Workloads:
+  traceonce   100k rays + 180x90 map  (ref best total: 210.5 s)
+  tracing     100k-ray tracing phase alone  (ref: 0.92-7.43 s)
+  scoring     16,200-position scoring phase alone  (ref: 104-2,191 s)
+  retrace     the full retrace sweep, 50k rays/position  (ref: 7,926 s;
+              run at full scale only without --quick — 8.1e8 traces)
+  exitfrac    exit-fraction invariants per port angle (validates physics)
+  throughput  sustained trace throughput (rays/s, large batch)
+"""
+
+import argparse
+import json
+import time
+
+REF = {
+    "traceonce_total_s": 210.5,
+    "tracing_phase_s": 0.92,
+    "scoring_phase_s": 103.9,
+    "retrace_total_s": 7926.4,
+    "throughput_rays_s": 1.0e5,
+}
+
+
+def _readback(x):
+    import jax
+    import jax.numpy as jnp
+    jax.block_until_ready(x)
+    return float(jnp.asarray(jax.tree.leaves(x)[0]).ravel()[0])
+
+
+def timeit(f, *args, repeats=3):
+    _readback(f(*args))  # compile
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        _readback(f(*args))
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true",
+                    help="skip the full-scale retrace sweep")
+    ap.add_argument("--json", default=None)
+    ap.add_argument("--max-bounces", type=int, default=4096)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from altair_tpu import (
+        DetectorGrid, SCENE_OPTIMIZE, SOURCE_OVERNIGHT, TraceConfig)
+    from altair_tpu.core.score import fluxmap_retrace, fluxmap_trace_once
+    from altair_tpu.core.trace import trace_rays
+
+    scene = SCENE_OPTIMIZE.with_(max_bounces=args.max_bounces)
+    src = SOURCE_OVERNIGHT
+    grid = DetectorGrid()
+    cfg = TraceConfig()
+    dev = jax.devices()[0].device_kind
+    out = {"device": dev}
+
+    # -- trace-once total (the bench.py headline) --------------------------
+    f = jax.jit(lambda k: fluxmap_trace_once(
+        trace_rays(k, scene, src, 100_000, cfg), grid).sum())
+    out["traceonce_total_s"] = timeit(f, jax.random.key(0))
+
+    # -- tracing phase alone ----------------------------------------------
+    f = jax.jit(lambda k: trace_rays(k, scene, src, 100_000, cfg)
+                .status.sum())
+    out["tracing_phase_s"] = timeit(f, jax.random.key(0))
+
+    # -- scoring phase alone (fixed traced batch) --------------------------
+    res = jax.jit(lambda k: trace_rays(k, scene, src, 100_000, cfg))(
+        jax.random.key(1))
+    jax.block_until_ready(res)
+    f = jax.jit(lambda r: fluxmap_trace_once(r, grid).sum())
+    out["scoring_phase_s"] = timeit(f, res)
+
+    # -- throughput (large batch) -----------------------------------------
+    n_big = 4_000_000
+    f = jax.jit(lambda k: trace_rays(k, scene, src, n_big, cfg).status.sum())
+    t = timeit(f, jax.random.key(2), repeats=2)
+    out["throughput_rays_s"] = n_big / t
+
+    # -- exit-fraction invariants ------------------------------------------
+    fracs = {}
+    for port, corpus in ((160.0, 0.748), (164.0, 0.655), (170.0, 0.425)):
+        sc = scene.with_(theta_max_deg=port)
+        r = jax.jit(lambda k, sc=sc: trace_rays(k, sc, src, 100_000, cfg)
+                    .exited_port_mask(sc.exit_port_z).sum())(jax.random.key(3))
+        fracs[str(int(port))] = {"ours": float(r) / 100_000, "corpus": corpus}
+    out["exit_fractions"] = fracs
+
+    # -- full retrace sweep -------------------------------------------------
+    if not args.quick:
+        f = jax.jit(lambda k: fluxmap_retrace(
+            k, scene, src, grid, 50_000, cfg, pos_chunk=4).sum())
+        out["retrace_total_s"] = timeit(f, jax.random.key(4), repeats=1)
+
+    # -- report -------------------------------------------------------------
+    print(f"\n== altair-tpu benchmarks on {dev} ==\n")
+    rows = [
+        ("trace-once total (100k rays, 180x90)", "traceonce_total_s"),
+        ("tracing phase (100k rays)", "tracing_phase_s"),
+        ("scoring phase (16,200 positions)", "scoring_phase_s"),
+        ("retrace sweep (8.1e8 traces)", "retrace_total_s"),
+    ]
+    for label, key in rows:
+        if key not in out:
+            continue
+        ref = REF[key]
+        ours = out[key]
+        print(f"{label:42s} {ours:10.4f} s   ref {ref:10.1f} s   "
+              f"x{ref / ours:,.0f}")
+    print(f"{'sustained throughput':42s} {out['throughput_rays_s']:,.0f} "
+          f"rays/s   ref {REF['throughput_rays_s']:,.0f}   "
+          f"x{out['throughput_rays_s'] / REF['throughput_rays_s']:,.0f}")
+    for port, v in out["exit_fractions"].items():
+        print(f"exit fraction port {port}: {v['ours']:.4f} "
+              f"(corpus {v['corpus']:.3f})")
+
+    if args.json:
+        with open(args.json, "w") as fh:
+            json.dump(out, fh, indent=2)
+        print(f"\nwrote {args.json}")
+
+
+if __name__ == "__main__":
+    main()
