@@ -12,6 +12,16 @@ Supports the production scatter law (Lambertian walls — the path every
 benchmark and the entire reference corpus uses).  Other BRDFs run on the
 XLA kernel; `trace_rays_fast` dispatches accordingly.
 
+Measured on v5e (2026-08): physics matches the XLA kernel (exit fraction
+0.4305, mean bounces 56.9) and the kernel's marginal cost is excellent
+(~35 us per 16k-lane block-iteration including 3 PRNG draws), but THIS
+environment's remote-execution transport adds ~1.05 s of fixed per-call
+dispatch overhead to pallas_call invocations (measured identical wall time
+for max_bounces=1 and max_bounces=4096), which the plain XLA kernel does
+not pay.  Until the transport caches custom kernels, `trace_rays` /
+`trace_rays_waves` remain the default production path; this kernel wins
+only for very large single calls (>~10M rays).
+
 Layout: lanes are a (SUB, 128) tile per block (SUB sublanes x 128 lanes),
 `grid = N / (SUB*128)` blocks.  Outputs match `TraceResult`.
 """

@@ -1,0 +1,201 @@
+"""Wave-compaction tracer — dead-lane elimination for large batches.
+
+The plain while-loop kernel (core/trace.py) keeps every lane busy until the
+LAST ray dies: with per-bounce termination probability p ≈ 0.0175
+(production scene) the loop runs ~ln(N)/p iterations while the mean ray only
+needs 1/p ≈ 57 — a ~10x duty-cycle waste at N = 1M.
+
+This variant traces in WAVES: a fixed block of iterations over the full
+batch, then the survivors (~ (1-p)^iters of the batch) are compacted into a
+4x-smaller buffer (static shapes — capacity checked, see ``n_overflow``)
+and the next wave runs on that, recursively down to a small tail that
+finishes with the exact while-loop kernel.  Total lane-iterations drop from
+~ln(N)/p * N to ~wave_iters * N * 4/3, a ~6x reduction, at the cost of one
+O(N) compaction (jnp.nonzero + gather) per wave.
+
+Results are bit-compatible in DISTRIBUTION but not in stream with the plain
+kernel (compaction reindexes lanes, so per-bounce draws differ) — same
+caveat as any parallelism change in the reference (SURVEY.md §7).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..config import SphereScene, Source, TraceConfig
+from .geometry import Vec3, ray_box_exit_t, sphere_hit
+from .sampling import scatter
+from .trace import ABSORBED, EXITED, RUNNING, SUSPENDED, TraceResult
+
+
+def _bounce(key, scene, n, cfg, it, carry):
+    """One bounce over the carry state (same physics as trace.bounce_once)."""
+    pos, direction, prev, status, bounces = carry
+    dtype = cfg.dtype
+    radius = jnp.asarray(scene.inner_radius, dtype)
+    cos_cap = radius * jnp.cos(jnp.deg2rad(
+        jnp.asarray(scene.theta_max_deg, dtype)))
+    reflectance = jnp.asarray(scene.reflectance, dtype)
+    world_half = jnp.asarray(scene.world_half, dtype)
+
+    active = status == RUNNING
+    q = sphere_hit(pos, direction, radius)
+    escaped = q.z < cos_cap
+    k_it = jax.random.fold_in(key, it)
+    k_surv, k_scat = jax.random.split(k_it)
+    survive = jax.random.uniform(k_surv, (n,), dtype) < reflectance
+    normal = q.scale(-1.0 / radius)
+    new_dir = scatter(k_scat, scene.surface_model, direction, normal, scene)
+    t_box = ray_box_exit_t(pos, direction, world_half)
+    box_pt = pos + direction.scale(t_box)
+    new_status = jnp.where(escaped, EXITED,
+                           jnp.where(survive, RUNNING, ABSORBED)).astype(
+                               jnp.int32)
+    status = jnp.where(active, new_status, status)
+    prev = Vec3.where(active, pos, prev)
+    pos = Vec3.where(active, Vec3.where(escaped, box_pt, q), pos)
+    direction = Vec3.where(active & ~escaped & survive, new_dir, direction)
+    bounces = jnp.where(active & ~escaped, bounces + 1, bounces)
+    return pos, direction, prev, status, bounces
+
+
+def trace_rays_waves(
+    key: jax.Array,
+    scene: SphereScene,
+    source: Source,
+    n_rays: int,
+    cfg: TraceConfig = TraceConfig(),
+    wave_iters: int = 128,
+    shrink: int = 4,
+    min_wave: int = 16384,
+) -> tuple[TraceResult, jax.Array]:
+    """Returns (TraceResult, n_overflow).  ``n_overflow`` is the number of
+    rays that could not be carried into a compacted wave (suspended early);
+    with the default 4x shrink it is zero except with astronomically
+    unlikely survival fluctuations or reflectance ~1 scenes — for those use
+    the plain kernel (`trace_rays`).
+    """
+    dtype = cfg.dtype
+    shape = (n_rays,)
+    pos = Vec3(
+        jnp.broadcast_to(jnp.asarray(source.x, dtype), shape),
+        jnp.broadcast_to(jnp.asarray(source.y, dtype), shape),
+        jnp.broadcast_to(jnp.asarray(source.z, dtype), shape),
+    )
+    direction = Vec3(
+        jnp.broadcast_to(jnp.asarray(source.dir_x, dtype), shape),
+        jnp.broadcast_to(jnp.asarray(source.dir_y, dtype), shape),
+        jnp.broadcast_to(jnp.asarray(source.dir_z, dtype), shape),
+    ).normalized()
+
+    # output buffers (original ray order)
+    out_pos = pos
+    out_dir = direction
+    out_prev = pos
+    out_status = jnp.zeros(shape, jnp.int32)
+    out_bounces = jnp.zeros(shape, jnp.int32)
+
+    max_iters = int(scene.max_bounces)
+    it0 = 0
+    # wave over the full batch
+    wkey = jax.random.fold_in(key, 0)
+    carry = (pos, direction, pos, out_status, out_bounces)
+    iters = min(wave_iters, max_iters)
+    carry = jax.lax.fori_loop(
+        0, iters, lambda j, c: _bounce(wkey, scene, n_rays, cfg, j, c),
+        carry)
+    it0 += iters
+    pos, direction, prev, status, bounces = carry
+    out_pos, out_dir, out_prev = pos, direction, prev
+    out_status, out_bounces = status, bounces
+    perm = jnp.arange(n_rays)
+
+    m = n_rays
+    wave = 1
+    n_overflow = jnp.zeros((), jnp.int32)
+    while m > min_wave and it0 < max_iters:
+        m_next = max(min_wave, m // shrink)
+        alive = status == RUNNING
+        n_alive = jnp.sum(alive, dtype=jnp.int32)
+        n_overflow = n_overflow + jnp.maximum(n_alive - m_next, 0)
+        idx = jnp.nonzero(alive, size=m_next, fill_value=m)[0]
+        valid = idx < m
+
+        def g(a):
+            return jnp.where(valid, a[jnp.minimum(idx, m - 1)], 0)
+
+        def gv(v: Vec3) -> Vec3:
+            return Vec3(g(v.x), g(v.y), g(v.z))
+
+        pos = gv(pos)
+        direction = gv(direction)
+        prev = gv(prev)
+        bounces = g(bounces)
+        status = jnp.where(valid, RUNNING, ABSORBED).astype(jnp.int32)
+        # invalid (padding) lanes get perm = n_rays so every later scatter
+        # of their state is dropped out-of-bounds
+        perm = jnp.where(valid, perm[jnp.minimum(idx, m - 1)], n_rays)
+
+        wkey = jax.random.fold_in(key, wave)
+        iters = min(wave_iters, max_iters - it0)
+        carry = (pos, direction, prev, status, bounces)
+        carry = jax.lax.fori_loop(
+            0, iters, lambda j, c: _bounce(wkey, scene, m_next, cfg, j, c),
+            carry)
+        it0 += iters
+        pos, direction, prev, status, bounces = carry
+
+        # scatter this wave's state back into the output buffers
+        sidx = perm  # padding lanes carry perm = n_rays -> dropped
+        out_status = out_status.at[sidx].set(status, mode="drop")
+        out_bounces = out_bounces.at[sidx].set(bounces, mode="drop")
+
+        def sv(out: Vec3, new: Vec3) -> Vec3:
+            return Vec3(out.x.at[sidx].set(new.x, mode="drop"),
+                        out.y.at[sidx].set(new.y, mode="drop"),
+                        out.z.at[sidx].set(new.z, mode="drop"))
+
+        out_pos = sv(out_pos, pos)
+        out_dir = sv(out_dir, direction)
+        out_prev = sv(out_prev, prev)
+        m = m_next
+        wave += 1
+
+    # tail: finish stragglers with the exact while loop on the small buffer
+    if it0 < max_iters:
+        wkey = jax.random.fold_in(key, 10_000 + wave)
+
+        def cond(state):
+            it, carry = state
+            return (it < max_iters - it0) & jnp.any(carry[3] == RUNNING)
+
+        def body(state):
+            it, carry = state
+            carry = jax.lax.fori_loop(
+                0, 16, lambda j, c: _bounce(wkey, scene, m, cfg, it + j, c),
+                carry)
+            return it + 16, carry
+
+        _, (pos, direction, prev, status, bounces) = jax.lax.while_loop(
+            cond, body, (0, (pos, direction, prev, status, bounces)))
+        if m < n_rays:
+            sidx = perm
+            out_status = out_status.at[sidx].set(status, mode="drop")
+            out_bounces = out_bounces.at[sidx].set(bounces, mode="drop")
+
+            def sv2(out: Vec3, new: Vec3) -> Vec3:
+                return Vec3(out.x.at[sidx].set(new.x, mode="drop"),
+                            out.y.at[sidx].set(new.y, mode="drop"),
+                            out.z.at[sidx].set(new.z, mode="drop"))
+
+            out_pos = sv2(out_pos, pos)
+            out_dir = sv2(out_dir, direction)
+            out_prev = sv2(out_prev, prev)
+        else:
+            out_pos, out_dir, out_prev = pos, direction, prev
+            out_status, out_bounces = status, bounces
+
+    out_status = jnp.where(out_status == RUNNING, SUSPENDED, out_status)
+    return TraceResult(out_status, out_pos, out_prev, out_dir,
+                       out_bounces), n_overflow

@@ -1,4 +1,5 @@
 from .mesh import (  # noqa: F401
+    init_distributed,
     RAY_AXIS,
     make_mesh,
     replicate,

@@ -28,6 +28,24 @@ from ..core.trace import EXITED, TraceResult, trace_rays
 RAY_AXIS = "rays"
 
 
+def init_distributed(coordinator_address: str | None = None,
+                     num_processes: int | None = None,
+                     process_id: int | None = None) -> None:
+    """Multi-host bring-up: call once per process before ``make_mesh``.
+
+    Thin wrapper over ``jax.distributed.initialize`` (auto-detects on Cloud
+    TPU when called with no arguments).  After it returns, ``jax.devices()``
+    spans every host's chips and the same single-controller sweep code runs
+    across DCN-connected slices — the multi-node story the reference never
+    had (its scaling was 'leave it overnight', SURVEY.md §5.8).
+    """
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs = dict(coordinator_address=coordinator_address,
+                      num_processes=num_processes, process_id=process_id)
+    jax.distributed.initialize(**kwargs)
+
+
 def make_mesh(devices=None, axis_name: str = RAY_AXIS) -> Mesh:
     """1-D mesh over all (or the given) devices; the ray batch is the only
     sharded axis in this workload — pure data parallelism over ICI."""

@@ -81,3 +81,23 @@ class TestViz:
         out = str(tmp_path / "red.png")
         plot_rays(paths, SCENE_OPTIMIZE, only_show_red=True, save_path=out)
         assert os.path.exists(out)
+
+
+class TestAsciiViz:
+    def test_ascii_fluxmap(self):
+        from altair_tpu.viz import ascii_fluxmap
+        fm = np.outer(np.cos(np.linspace(0, 1.4, 18)), np.ones(9))
+        art = ascii_fluxmap(fm, width=30, height=8)
+        lines = art.splitlines()
+        assert len(lines) == 9  # header + 8 rows
+        assert "@" in lines[1]     # peak row saturated
+        assert lines[-1].strip(" .") == ""  # dimmest row near-empty
+
+    def test_ascii_ray_projection(self):
+        from altair_tpu.viz import ascii_ray_projection
+        paths = trace_paths(SCENE_V1.with_(max_bounces=256), SOURCE_DEMO,
+                            n_rays=8, keep_history=32)
+        art = ascii_ray_projection(paths.points, paths.lengths,
+                                   paths.classes, width=40, height=20)
+        assert len(art.splitlines()) == 20
+        assert any(c in art for c in "o+*")
