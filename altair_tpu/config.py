@@ -212,6 +212,41 @@ SCENE_INSPHERE = SphereScene(reflectance=1.0, roughness=0.5,
                              outer_radius=105.0 * cm,
                              world_half=200.0 * cm, max_bounces=10000)
 
+def validate(scene: SphereScene, source: Source) -> None:
+    """Fail-fast sanity checks the reference never did (it let TGeo produce
+    silent nonsense for exterior sources / zero directions).
+
+    Only callable with concrete (non-traced) values — call it at the driver
+    layer, not inside jit.
+    """
+    import numbers
+
+    def _concrete(v):
+        return isinstance(v, numbers.Number)
+
+    if all(_concrete(v) for v in (source.x, source.y, source.z,
+                                  scene.inner_radius)):
+        r2 = float(source.x) ** 2 + float(source.y) ** 2 + float(source.z) ** 2
+        if r2 >= float(scene.inner_radius) ** 2:
+            raise ValueError(
+                f"source at radius {math.sqrt(r2):.2f} lies outside the "
+                f"sphere (inner radius {float(scene.inner_radius)}); the "
+                "trace kernel assumes an interior source")
+    if all(_concrete(v) for v in (source.dir_x, source.dir_y, source.dir_z)):
+        d2 = (float(source.dir_x) ** 2 + float(source.dir_y) ** 2
+              + float(source.dir_z) ** 2)
+        if d2 == 0.0:
+            raise ValueError("source direction must be non-zero")
+    if _concrete(scene.theta_max_deg) and not (
+            90.0 < float(scene.theta_max_deg) < 180.0):
+        raise ValueError(
+            "theta_max_deg must be in (90, 180) — the port cap must be a "
+            "proper cap around -z")
+    if _concrete(scene.reflectance) and not (
+            0.0 <= float(scene.reflectance) <= 1.0):
+        raise ValueError("reflectance must be a probability")
+
+
 SOURCE_V1 = Source()                                   # (-60,0,-80), (5,2,0)
 SOURCE_DEMO = Source(dir_y=0.0, wavelength_nm=400.0)   # (-60,0,-80), (5,0,0)
 SOURCE_OVERNIGHT = Source(z=-75.0 * cm, dir_y=0.0)     # sweepSeries variants

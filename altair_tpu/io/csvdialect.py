@@ -72,8 +72,26 @@ class FluxmapMetadata:
     max_reflections: int
     trace_once: bool = True
     generated: str = field(default_factory=timestamp)
+    style: str = "v2"   # "v1" = fluxAtObserver.C:335-344 header variant
 
     def header_lines(self) -> list[str]:
+        if self.style == "v1":
+            # the original sweep's shorter header (fluxAtObserver.C:335-344)
+            # — no reflectance/roughness/source lines, plus the odd
+            # "# y direction" key recording the source dir-y component
+            return [
+                f"# Flux Map Data - Generated: {self.generated}",
+                f"# Number of rays per position: {self.n_rays}",
+                (f"# Detector dimensions: {_num(self.detector_width_cm)}cm x "
+                 f"{_num(self.detector_height_cm)}cm"),
+                f"# Sphere inner radius: {_num(self.inner_radius_cm)}cm",
+                f"# Sphere outer radius: {_num(self.outer_radius_cm)}cm",
+                f"# Exit port angle: {_num(self.exit_port_angle_deg)} degrees",
+                f"# Theta bins: {self.n_theta}",
+                f"# Phi bins: {self.n_phi}",
+                f"# y direction: {_num(self.source_dir[1])}",
+                "theta,phi,fraction",
+            ]
         method = " (Trace-Once Method)" if self.trace_once else ""
         lines = [
             f"# Flux Map Data{method} - Generated: {self.generated}",

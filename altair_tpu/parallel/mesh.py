@@ -23,7 +23,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import DetectorGrid, SphereScene, Source, TraceConfig
 from ..core.score import exit_angle_histogram, fluxmap_trace_once
-from ..core.trace import EXITED, TraceResult, trace_rays
+from ..core.trace import EXITED, TraceResult
+from ..core.trace_waves import trace_rays_auto as trace_rays
 
 RAY_AXIS = "rays"
 

@@ -26,9 +26,9 @@ import time
 import jax
 import numpy as np
 
-from ..config import DetectorGrid, SphereScene, Source, TraceConfig
+from ..config import DetectorGrid, SphereScene, Source, TraceConfig, validate
 from ..core.score import fluxmap_retrace, fluxmap_trace_once
-from ..core.trace import trace_rays
+from ..core.trace_waves import trace_rays_auto as trace_rays
 from ..io import (
     EtaTracker,
     FluxmapMetadata,
@@ -86,6 +86,7 @@ def sweep_detector_trace_once(
 ) -> SweepResult:
     """Trace once, score the whole grid.  Pass ``mesh`` (from
     ``altair_tpu.parallel.make_mesh``) to shard the ray axis over chips."""
+    validate(scene, source)
     t_setup0 = time.perf_counter()
     key = jax.random.key(seed)
 
@@ -157,6 +158,7 @@ def sweep_detector_retrace(
     reference's immediate-flush loop).  ``resume_path``: continue a partial
     CSV written by an earlier killed run (rows already present are skipped —
     the reference's manual resume contract, SURVEY.md §5.3/5.4)."""
+    validate(scene, source)
     t_all0 = time.perf_counter()
     key = jax.random.key(seed)
     P = grid.n_positions

@@ -33,7 +33,7 @@ def main():
 
     from altair_tpu import DetectorGrid, SCENE_OPTIMIZE, SOURCE_OVERNIGHT, TraceConfig
     from altair_tpu.core.score import fluxmap_trace_once
-    from altair_tpu.core.trace import trace_rays
+    from altair_tpu.core.trace_waves import trace_rays_auto as trace_rays
 
     scene = SCENE_OPTIMIZE.with_(max_bounces=args.max_bounces)
     source = SOURCE_OVERNIGHT

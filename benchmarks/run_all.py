@@ -59,6 +59,7 @@ def main():
         DetectorGrid, SCENE_OPTIMIZE, SOURCE_OVERNIGHT, TraceConfig)
     from altair_tpu.core.score import fluxmap_retrace, fluxmap_trace_once
     from altair_tpu.core.trace import trace_rays
+    from altair_tpu.core.trace_waves import trace_rays_auto
 
     scene = SCENE_OPTIMIZE.with_(max_bounces=args.max_bounces)
     src = SOURCE_OVERNIGHT
@@ -86,7 +87,7 @@ def main():
 
     # -- throughput (large batch) -----------------------------------------
     n_big = 4_000_000
-    f = jax.jit(lambda k: trace_rays(k, scene, src, n_big, cfg).status.sum())
+    f = jax.jit(lambda k: trace_rays_auto(k, scene, src, n_big, cfg).status.sum())
     t = timeit(f, jax.random.key(2), repeats=2)
     out["throughput_rays_s"] = n_big / t
 

@@ -122,3 +122,18 @@ class TestProgress:
         line = t.tick()
         assert line is not None and "ETA:" in line
         assert np.isclose(t.percent, 6.0)
+
+
+class TestV1Dialect:
+    def test_v1_header_keys(self):
+        lines = _meta(style="v1", n_rays=50000, detector_width_cm=10,
+                      detector_height_cm=10, source_dir=(5, 2, 0)
+                      ).header_lines()
+        text = "\n".join(lines)
+        # fluxAtObserver.C:335-344 exact key set
+        assert "# Number of rays per position: 50000" in text
+        assert "# Detector dimensions: 10cm x 10cm" in text
+        assert "# y direction: 2" in text
+        assert "Mirror reflectance" not in text
+        assert "Method:" not in text
+        assert lines[-1] == "theta,phi,fraction"

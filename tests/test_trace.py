@@ -169,3 +169,24 @@ class TestHistory:
             if len(pts):
                 np.testing.assert_allclose(
                     np.linalg.norm(pts, axis=1), 100.1, rtol=1e-3)
+
+
+class TestValidation:
+    def test_exterior_source_rejected(self):
+        from altair_tpu.config import validate
+        with pytest.raises(ValueError, match="outside the sphere"):
+            validate(SCENE, Source(x=-150.0))
+
+    def test_zero_direction_rejected(self):
+        from altair_tpu.config import validate
+        with pytest.raises(ValueError, match="non-zero"):
+            validate(SCENE, Source(dir_x=0.0, dir_y=0.0, dir_z=0.0))
+
+    def test_bad_port_angle_rejected(self):
+        from altair_tpu.config import validate
+        with pytest.raises(ValueError, match="theta_max"):
+            validate(SCENE.with_(theta_max_deg=45.0), SOURCE_V1)
+
+    def test_valid_passes(self):
+        from altair_tpu.config import validate
+        validate(SCENE, SOURCE_V1)
