@@ -18,7 +18,8 @@ import jax.numpy as jnp
 
 from ..config import DetectorGrid, SphereScene, Source, TraceConfig
 from .geometry import Vec3, detector_position, line_hits_disk
-from .trace import EXITED, TraceResult, trace_rays
+from .trace import EXITED, TraceResult
+from .trace_waves import trace_rays_auto as trace_rays
 
 PARALLEL_EPS = 1e-10  # fluxAtObserver.C:78
 
@@ -132,14 +133,23 @@ def fluxmap_retrace(
     n_per_pos: int,
     cfg: TraceConfig = TraceConfig(),
     pos_chunk: int = 8,
+    centers_normals=None,
 ) -> jax.Array:
     """The honest retrace sweep: fresh rays for every detector position
     (``sweepDetector``, ``fluxAtObserverOptimize.C:433-702`` — 8.1x10^8
     traces per map).  Statistically identical to trace-once in expectation but
     with independent noise per position; kept for cross-method consistency
     checks (SURVEY.md §4.3).  Returns ``[n_theta, n_phi]`` hit counts.
+
+    ``centers_normals``: optional explicit ``([P,3], [P,3])`` detector
+    placement override — pass DYNAMIC arrays here to reuse one compiled
+    program across sub-grids whose static shape matches (a sub-grid with
+    different static theta bounds would otherwise recompile).
     """
-    C, Nrm = grid_centers_normals(grid, scene.exit_port_z)
+    if centers_normals is not None:
+        C, Nrm = centers_normals
+    else:
+        C, Nrm = grid_centers_normals(grid, scene.exit_port_z)
     P = grid.n_positions
     chunk = min(pos_chunk, P)
     n_chunks = -(-P // chunk)

@@ -166,15 +166,20 @@ def sweep_detector_retrace(
         raise ValueError("pos_chunk must divide n_theta*n_phi")
     n_chunks = P // pos_chunk
 
-    run = jax.jit(lambda key, chunk_grid: fluxmap_retrace(
-        key, scene, source, chunk_grid, n_rays_per_pos, cfg,
-        pos_chunk=min(8, pos_chunk)))
-
     # Chunk along theta rows so each chunk is a contiguous sub-grid.
     if pos_chunk % grid.n_phi:
         raise ValueError("pos_chunk must be a multiple of n_phi "
                          "(chunking is by theta rows)")
     rows_per_chunk = pos_chunk // grid.n_phi
+
+    # one compiled program serves every chunk: the sub-grid SHAPE is static,
+    # the detector placement arrays are dynamic inputs
+    from ..core.score import grid_centers_normals
+    C_all, N_all = grid_centers_normals(grid, scene.exit_port_z)
+    sub_shape = dataclasses.replace(grid, n_theta=rows_per_chunk)
+    run = jax.jit(lambda key, c, n: fluxmap_retrace(
+        key, scene, source, sub_shape, n_rays_per_pos, cfg,
+        pos_chunk=min(8, pos_chunk), centers_normals=(c, n)))
 
     th = np.asarray(grid.theta_centers())
     ph = np.asarray(grid.phi_centers())
@@ -209,15 +214,10 @@ def sweep_detector_retrace(
     t_trace = 0.0
     for ci in range(done_rows // rows_per_chunk, n_chunks):
         row0 = ci * rows_per_chunk
-        sub = dataclasses.replace(
-            grid, n_theta=rows_per_chunk,
-            theta_lo=grid.theta_lo + row0 * (grid.theta_hi - grid.theta_lo)
-            / grid.n_theta,
-            theta_hi=grid.theta_lo + (row0 + rows_per_chunk)
-            * (grid.theta_hi - grid.theta_lo) / grid.n_theta)
+        sl = slice(row0 * grid.n_phi, (row0 + rows_per_chunk) * grid.n_phi)
         t0 = time.perf_counter()
         counts = jax.block_until_ready(
-            run(jax.random.fold_in(key, ci), sub))
+            run(jax.random.fold_in(key, ci), C_all[sl], N_all[sl]))
         t_trace += time.perf_counter() - t0
         fm[row0:row0 + rows_per_chunk] = (
             np.asarray(counts, np.float64) / n_rays_per_pos)

@@ -68,28 +68,32 @@ def main():
     dev = jax.devices()[0].device_kind
     out = {"device": dev}
 
+    def log(k, v):
+        out[k] = v
+        print(f"[{k}] {v}", flush=True)
+
     # -- trace-once total (the bench.py headline) --------------------------
     f = jax.jit(lambda k: fluxmap_trace_once(
         trace_rays(k, scene, src, 100_000, cfg), grid).sum())
-    out["traceonce_total_s"] = timeit(f, jax.random.key(0))
+    log("traceonce_total_s", timeit(f, jax.random.key(0)))
 
     # -- tracing phase alone ----------------------------------------------
     f = jax.jit(lambda k: trace_rays(k, scene, src, 100_000, cfg)
                 .status.sum())
-    out["tracing_phase_s"] = timeit(f, jax.random.key(0))
+    log("tracing_phase_s", timeit(f, jax.random.key(0)))
 
     # -- scoring phase alone (fixed traced batch) --------------------------
     res = jax.jit(lambda k: trace_rays(k, scene, src, 100_000, cfg))(
         jax.random.key(1))
     jax.block_until_ready(res)
     f = jax.jit(lambda r: fluxmap_trace_once(r, grid).sum())
-    out["scoring_phase_s"] = timeit(f, res)
+    log("scoring_phase_s", timeit(f, res))
 
     # -- throughput (large batch) -----------------------------------------
     n_big = 4_000_000
     f = jax.jit(lambda k: trace_rays_auto(k, scene, src, n_big, cfg).status.sum())
     t = timeit(f, jax.random.key(2), repeats=2)
-    out["throughput_rays_s"] = n_big / t
+    log("throughput_rays_s", n_big / t)
 
     # -- exit-fraction invariants ------------------------------------------
     fracs = {}
@@ -100,11 +104,29 @@ def main():
         fracs[str(int(port))] = {"ours": float(r) / 100_000, "corpus": corpus}
     out["exit_fractions"] = fracs
 
-    # -- full retrace sweep -------------------------------------------------
+    # -- full retrace sweep (8.1e8 traces, split into host-level calls so
+    # no single device execution exceeds the transport's limits) -----------
     if not args.quick:
-        f = jax.jit(lambda k: fluxmap_retrace(
-            k, scene, src, grid, 50_000, cfg, pos_chunk=4).sum())
-        out["retrace_total_s"] = timeit(f, jax.random.key(4), repeats=1)
+        import dataclasses
+        from altair_tpu.core.score import grid_centers_normals
+        rows_per_call = 10  # 10 theta rows x 90 phi x 50k = 4.5e7 rays/call
+        sub_shape = dataclasses.replace(grid, n_theta=rows_per_call)
+        C, Nrm = grid_centers_normals(grid, scene.exit_port_z)
+        P_sub = rows_per_call * grid.n_phi
+        run_sub = jax.jit(lambda k, c, n: fluxmap_retrace(
+            k, scene, src, sub_shape, 50_000, cfg, pos_chunk=8,
+            centers_normals=(c, n)).sum())
+        # one compile serves every sub-grid (placement is dynamic)
+        _readback(run_sub(jax.random.key(4), C[:P_sub], Nrm[:P_sub]))
+        t0 = time.perf_counter()
+        for i in range(grid.n_theta // rows_per_call):
+            sl = slice(i * P_sub, (i + 1) * P_sub)
+            _readback(run_sub(jax.random.fold_in(jax.random.key(4), i),
+                              C[sl], Nrm[sl]))
+            print(f"  retrace rows {i * rows_per_call}-"
+                  f"{(i + 1) * rows_per_call - 1} done "
+                  f"({time.perf_counter() - t0:.1f}s)", flush=True)
+        log("retrace_total_s", time.perf_counter() - t0)
 
     # -- report -------------------------------------------------------------
     print(f"\n== altair-tpu benchmarks on {dev} ==\n")

@@ -162,3 +162,31 @@ class TestInsphere:
             SCENE_INSPHERE.with_(max_bounces=2048), SOURCE_DEMO,
             retrace=True, seed=1, **kw)
         assert (np.abs(a.fractions - b.fractions) < 0.002).all()
+
+
+class TestRetraceResume:
+    def test_resume_from_partial_csv(self, tmp_path):
+        """Crash-resume contract (SURVEY.md §5.3/5.4): a killed run's
+        partial CSV continues where it stopped."""
+        grid = DetectorGrid(n_theta=4, n_phi=2)
+        full = sweep_detector_retrace(
+            SCENE, SOURCE_OVERNIGHT, n_rays_per_pos=2_000, grid=grid,
+            seed=7, save_folder=str(tmp_path), pos_chunk=2, verbose=False)
+        # craft a partial file: first 2 theta rows only
+        partial = str(tmp_path / "partial.csv")
+        with open(full.path) as fh:
+            lines = fh.readlines()
+        data_start = next(i for i, l in enumerate(lines)
+                          if l.startswith("theta"))
+        with open(partial, "w") as fh:
+            fh.writelines(lines[:data_start + 1 + 2 * grid.n_phi])
+        resumed = sweep_detector_retrace(
+            SCENE, SOURCE_OVERNIGHT, n_rays_per_pos=2_000, grid=grid,
+            seed=7, save_folder=None, pos_chunk=2, verbose=False,
+            resume_path=partial)
+        # resumed rows 0-1 must be copied verbatim from the partial file
+        np.testing.assert_allclose(resumed.fluxmap[:2], full.fluxmap[:2],
+                                   atol=1e-6)
+        # remaining rows recomputed (same seed/chunk => identical here)
+        np.testing.assert_allclose(resumed.fluxmap[2:], full.fluxmap[2:],
+                                   atol=1e-6)
