@@ -12,6 +12,7 @@ from .flux_analysis import (  # noqa: F401
     FileData,
     ProfileFit,
     analyze,
+    analyze_single,
     average_runs,
     collect_files,
     cosine_func,

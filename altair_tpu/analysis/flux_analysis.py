@@ -261,6 +261,41 @@ def analyze(path: str, average_mode: bool = False, save: bool = True,
     return fits
 
 
+def analyze_single(csv_path: str, save: bool = True, out_dir: str = "."):
+    """Single-run outputs with the reference's retained PNG naming:
+    ``{stem}_heatmap.png`` and ``{stem}_theta_analysis.png`` (e.g.
+    ``fluxmap_50000rays_180x90_src-60_0_-75_heatmap.png`` in the corpus)."""
+    import matplotlib
+    matplotlib.use("Agg", force=False)
+    import matplotlib.pyplot as plt
+
+    d = load(csv_path)
+    if d is None:
+        return None
+    stem = os.path.splitext(os.path.basename(csv_path))[0]
+
+    fig = plt.figure(figsize=(10, 8))
+    ax = fig.gca()
+    _, _, grid = d.pivot()
+    im = ax.imshow(grid, aspect="auto", origin="lower",
+                   extent=[0, 360, 0, 90], interpolation="nearest",
+                   cmap="viridis")
+    fig.colorbar(im, ax=ax, label="Fraction of rays detected")
+    ax.set_title(stem)
+    ax.set_xlabel("φ (degrees)")
+    ax.set_ylabel("θ (degrees)")
+    heat_path = os.path.join(out_dir, f"{stem}_heatmap.png")
+
+    thetas, mean, stderr = theta_profile(d)
+    fit = fit_cosine(thetas, mean, stem, stderr)
+    tfig = plot_theta_comparison([fit])
+    theta_path = os.path.join(out_dir, f"{stem}_theta_analysis.png")
+    if save:
+        fig.savefig(heat_path, dpi=300, bbox_inches="tight")
+        tfig.savefig(theta_path, dpi=300, bbox_inches="tight")
+    return fit
+
+
 def main(argv=None):  # pragma: no cover
     argv = sys.argv[1:] if argv is None else argv
     if len(argv) < 1:

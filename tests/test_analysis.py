@@ -153,3 +153,13 @@ class TestRayAnalysis:
         angles, mask = z_angle_distribution(d)
         assert mask.sum() == 2
         np.testing.assert_allclose(angles, [0.0, -30.0], atol=1e-6)
+
+
+class TestSingleRunPlots:
+    def test_reference_png_naming(self, cosine_maps, tmp_path):
+        from altair_tpu.analysis import analyze_single
+        dirpath, _, _ = cosine_maps
+        fit = analyze_single(str(dirpath / "run0.csv"), out_dir=str(tmp_path))
+        assert fit is not None
+        assert os.path.exists(str(tmp_path / "run0_heatmap.png"))
+        assert os.path.exists(str(tmp_path / "run0_theta_analysis.png"))
