@@ -75,6 +75,31 @@ def _hits_block(E, D, rowmask, C, Nrm, half_w):
     return jnp.sum(hit, axis=0, dtype=jnp.int32)
 
 
+def _score_grid(E, D, rowmask, grid: DetectorGrid, exit_port_z, pos_chunk):
+    """Chunked [rays x positions] scoring core shared by the trace-once
+    scorers."""
+    C, Nrm = grid_centers_normals(grid, exit_port_z)
+    P = grid.n_positions
+    chunk = min(pos_chunk, P)
+    n_chunks = -(-P // chunk)
+    pad = n_chunks * chunk - P
+    if pad:
+        C = jnp.concatenate([C, jnp.zeros((pad, 3), C.dtype)])
+        # pad normals with +z so padded positions are valid-but-missed
+        padn = jnp.tile(jnp.array([[0.0, 0.0, 1.0]], Nrm.dtype), (pad, 1))
+        Nrm = jnp.concatenate([Nrm, padn])
+    Cb = C.reshape(n_chunks, chunk, 3)
+    Nb = Nrm.reshape(n_chunks, chunk, 3)
+    half_w = grid.width / 2.0
+
+    def one_chunk(args):
+        c, n = args
+        return _hits_block(E, D, rowmask, c, n, half_w)
+
+    counts = jax.lax.map(one_chunk, (Cb, Nb)).reshape(-1)[:P]
+    return counts.reshape(grid.n_theta, grid.n_phi)
+
+
 def fluxmap_trace_once(
     result: TraceResult,
     grid: DetectorGrid,
@@ -91,28 +116,52 @@ def fluxmap_trace_once(
     mask = result.exited_port_mask(exit_port_z)
     E = result.last_point.stack()
     D = result.direction.stack()
-    C, Nrm = grid_centers_normals(grid, exit_port_z)
-    P = grid.n_positions
+    return _score_grid(E, D, mask, grid, exit_port_z, pos_chunk)
 
-    chunk = min(pos_chunk, P)
-    n_chunks = -(-P // chunk)
-    pad = n_chunks * chunk - P
-    if pad:
-        C = jnp.concatenate([C, jnp.zeros((pad, 3), C.dtype)])
-        # pad normals with +z so padded positions are valid-but-missed
-        padn = jnp.tile(jnp.array([[0.0, 0.0, 1.0]], Nrm.dtype), (pad, 1))
-        Nrm = jnp.concatenate([Nrm, padn])
-    Cb = C.reshape(n_chunks, chunk, 3)
-    Nb = Nrm.reshape(n_chunks, chunk, 3)
 
-    half_w = grid.width / 2.0
+def exit_capacity(scene: SphereScene, n_rays: int, sigmas: float = 6.0,
+                  margin: float = 1.05) -> int:
+    """Static upper bound on the exit count for compaction: expected
+    exit fraction p/(p + 1-rho) plus ``sigmas`` binomial deviations and a
+    relative margin.  Requires concrete scene parameters."""
+    import math
 
-    def one_chunk(args):
-        c, n = args
-        return _hits_block(E, D, mask, c, n, half_w)
+    p_port = (1 - math.cos(math.radians(
+        180 - float(scene.theta_max_deg)))) / 2
+    denom = p_port + (1 - float(scene.reflectance))
+    p = 1.0 if denom <= 0 else p_port / denom
+    cap = p * n_rays * margin + sigmas * math.sqrt(
+        max(p * (1 - p) * n_rays, 1.0))
+    return min(n_rays, int(-(-cap // 8) * 8))
 
-    counts = jax.lax.map(one_chunk, (Cb, Nb)).reshape(-1)[:P]
-    return counts.reshape(grid.n_theta, grid.n_phi)
+
+def fluxmap_trace_once_compact(
+    result: TraceResult,
+    grid: DetectorGrid,
+    capacity: int,
+    exit_port_z=-100.0,
+    pos_chunk: int = 1080,
+):
+    """Trace-once scoring over the COMPACTED exit subset: gathers the
+    (typically ~43%) exiting rays into a ``capacity``-sized buffer before
+    the [rays x positions] test, cutting the scoring work proportionally.
+
+    Returns ``(counts, n_overflow)``; ``n_overflow > 0`` means ``capacity``
+    was exceeded and that many exit rays went UNSCORED — size capacity with
+    ``exit_capacity`` (a >=6-sigma bound) and treat nonzero overflow as an
+    error at the call site.
+    """
+    mask = result.exited_port_mask(exit_port_z)
+    n = mask.shape[0]
+    idx = jnp.nonzero(mask, size=capacity, fill_value=n)[0]
+    valid = idx < n
+    take = jnp.minimum(idx, n - 1)
+    E = result.last_point.stack()[take]
+    D = result.direction.stack()[take]
+    n_overflow = jnp.sum(mask, dtype=jnp.int32) - jnp.sum(
+        valid, dtype=jnp.int32)
+    counts = _score_grid(E, D, valid, grid, exit_port_z, pos_chunk)
+    return counts, n_overflow
 
 
 def hits_single_detector(result: TraceResult, center: Vec3, normal: Vec3,

@@ -100,17 +100,27 @@ def sweep_detector_trace_once(
             return sharded_fluxmap(mesh, key, scene, source, grid, n_rays,
                                    cfg)
     else:
+        from ..core.score import exit_capacity, fluxmap_trace_once_compact
+
+        cap = exit_capacity(scene, n_rays)
+
         @jax.jit
         def run(key):
             res = trace_rays(key, scene, source, n_rays, cfg)
-            counts = fluxmap_trace_once(res, grid, scene.exit_port_z)
+            counts, overflow = fluxmap_trace_once_compact(
+                res, grid, cap, scene.exit_port_z)
             n_exit = res.exited_port_mask(scene.exit_port_z).sum()
-            return counts, n_exit
+            return counts, n_exit + 0 * overflow, overflow
 
     if verbose:
         debug_stamp("Tracing all rays once")
     t0 = time.perf_counter()
-    counts, n_exit = jax.block_until_ready(run(key))
+    out = jax.block_until_ready(run(key))
+    counts, n_exit = out[0], out[1]
+    if len(out) > 2 and int(out[2]):
+        raise RuntimeError(
+            f"exit-compaction overflow ({int(out[2])} rays unscored) — "
+            "statistically impossible at the 6-sigma capacity; investigate")
     t_trace = time.perf_counter() - t0  # fused trace+score on device
     if verbose:
         debug_stamp(f"Ray tracing + scoring completed in {t_trace:.4f} s")

@@ -174,3 +174,31 @@ class TestInsphereDisk:
                                             jnp.float32(0.0))
         h = int(score.hits_insphere_disk(result, c, n, 5.0))
         assert h < 5
+
+
+class TestCompactScorer:
+    def test_exact_match_and_capacity(self, result):
+        grid = DetectorGrid(n_theta=12, n_phi=6)
+        full = np.asarray(score.fluxmap_trace_once(result, grid))
+        cap = score.exit_capacity(SCENE, N)
+        assert cap < N  # compaction actually shrinks the problem
+        compact, ovf = jax.jit(
+            lambda r: score.fluxmap_trace_once_compact(r, grid, cap))(result)
+        assert int(ovf) == 0
+        np.testing.assert_array_equal(full, np.asarray(compact))
+
+    def test_overflow_reported(self, result):
+        grid = DetectorGrid(n_theta=2, n_phi=2)
+        tiny_cap = 128
+        _, ovf = jax.jit(
+            lambda r: score.fluxmap_trace_once_compact(r, grid, tiny_cap))(
+                result)
+        n_exit = int(result.exited_port_mask().sum())
+        assert int(ovf) == n_exit - tiny_cap
+
+    def test_capacity_bounds(self):
+        # rho=1: everything exits -> capacity == n
+        from altair_tpu import SCENE_V1
+        assert score.exit_capacity(SCENE_V1, 1000) == 1000
+        cap170 = score.exit_capacity(SCENE, 100_000)
+        assert 43_000 < cap170 < 50_000
