@@ -57,8 +57,11 @@ def main():
     def key(i):
         return jax.random.key(i, impl=args.rng)
 
-    # compile (excluded, like the reference's ACLiC build)
-    counts, n_exit, overflow = jax.block_until_ready(fluxmap(key(0)))
+    # compile + one full warm execution (excluded, like the reference's
+    # ACLiC build); int() forces a real device->host readback — plain
+    # block_until_ready can return early through this async transport
+    counts, n_exit, overflow = fluxmap(key(0))
+    int(n_exit)
 
     times = []
     for i in range(args.repeats):
