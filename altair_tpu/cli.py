@@ -72,11 +72,25 @@ def cmd_fluxmap(args):
 
 
 def cmd_series(args):
-    from .sweep import run_series
-
     scene, source = _scene_source(args)
-    run_series(scene, source, port_angles=args.port_angles,
-               repeats=args.repeats, n_rays=args.rays, save_root=args.out)
+    if args.vmapped:
+        import numpy as np
+
+        from .sweep import run_series_vmapped
+
+        counts, exits = run_series_vmapped(
+            scene, source, port_angles=args.port_angles, n_rays=args.rays)
+        for p, e in zip(args.port_angles, exits):
+            print(f"port {p}: exit fraction {e / args.rays:.4f}")
+        np.save(args.out_npz if hasattr(args, "out_npz") else
+                "series_fluxmaps.npy", counts)
+        print("fluxmaps saved to series_fluxmaps.npy")
+    else:
+        from .sweep import run_series
+
+        run_series(scene, source, port_angles=args.port_angles,
+                   repeats=args.repeats, n_rays=args.rays,
+                   save_root=args.out)
     return 0
 
 
@@ -156,6 +170,10 @@ def main(argv=None) -> int:
     p.add_argument("--repeats", type=int, default=5)
     p.add_argument("--rays", type=int, default=100_000)
     p.add_argument("--out", default=".")
+    p.add_argument("--vmapped", action="store_true",
+                   help="run all series members in one device call (vmap "
+                        "over the scene batch axis) instead of the "
+                        "reference's sequential loop")
     p.set_defaults(fn=cmd_series)
 
     p = sub.add_parser("distribution", help="exit angular distribution")

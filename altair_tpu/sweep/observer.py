@@ -278,6 +278,15 @@ def sweep_detector_twofold(
     """
     if grid.n_phi % 2:
         raise ValueError("twofold needs an even n_phi")
+    if grid.n_positions > 1000:
+        import warnings
+
+        warnings.warn(
+            "twofold re-traces a fresh batch per antipodal position pair "
+            f"({grid.n_positions // 2} device calls) — it exists for "
+            "methodology parity with sweepDetectorTwofold; use "
+            "sweep_detector_trace_once for production maps",
+            stacklevel=2)
     import jax.numpy as jnp
 
     from ..core.geometry import Vec3, detector_position, line_hits_disk
