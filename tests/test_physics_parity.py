@@ -141,3 +141,32 @@ class TestAnalyticOracle:
         n_exit = int(exit_count(result))
         per_exit = ours / n_exit
         assert abs(per_exit - oracle) < 0.003, (per_exit, oracle)
+
+
+# Port-angle series goldens — the results_overnight_04_1-60_0_-75_5 corpus is
+# a RETRACE series over port angles 163/166/169/172 deg (one complete 50k-ray
+# x 16,200-position run each; per-theta-bin stderr ~4e-5).  Values are the
+# theta-profile at theta = 0.25, 20.25, 45.25, 70.25 deg.
+GOLDEN_PORT_SERIES = {
+    163.0: [0.022718, 0.019582, 0.009830, 0.001856],
+    166.0: [0.020680, 0.017947, 0.008622, 0.001334],
+    169.0: [0.017077, 0.015035, 0.006939, 0.000914],
+    172.0: [0.012041, 0.010451, 0.004611, 0.000563],
+}
+_SERIES_THETA_IDX = [0, 40, 90, 140]
+
+
+class TestPortAngleSeriesParity:
+    @pytest.mark.parametrize("port", sorted(GOLDEN_PORT_SERIES))
+    def test_profile_vs_corpus(self, port):
+        scene = SCENE.with_(theta_max_deg=port)
+        res = trace_rays_jit(jax.random.key(21), scene, SOURCE_OVERNIGHT, N)
+        grid = DetectorGrid()
+        fm = np.asarray(score.fluxmap_trace_once(res, grid)) / N
+        prof = fm.mean(axis=1)
+        for i, ref in zip(_SERIES_THETA_IDX, GOLDEN_PORT_SERIES[port]):
+            # tolerance: corpus single-run noise + our correlated trace-once
+            # wiggle + 3% systematic headroom
+            mc = np.sqrt(max(ref, 1e-6) / (N * 90 / 250))
+            tol = 4e-5 * 3 + 3 * mc + 0.03 * ref + 3e-5
+            assert abs(prof[i] - ref) < tol, (port, i, prof[i], ref)
