@@ -10,6 +10,7 @@ reference entry point a subcommand with the same knobs and defaults:
   altair-tpu insphere       <- integratingSphereDetectorSweep
   altair-tpu visualize      <- visualizeDetector (PNG instead of OpenGL)
   altair-tpu analyze        <- flux_analysis.py
+  altair-tpu scatter-retrace<- nonLambertianFlux sweepDetector
 
 (The timing-footer benchmark lives at the repo root: ``python bench.py``.)
 """
@@ -135,6 +136,35 @@ def cmd_visualize(args):
     return 0
 
 
+def cmd_scatter_retrace(args):
+    import numpy as np
+
+    from .config import DetectorGrid
+    from .sweep import sweep_scatter_retrace
+
+    scene, source = _scene_source(args)
+    scene = scene.with_(specular_prob=args.specular, diffuse_prob=args.diffuse,
+                        brdf_roughness=args.brdf_roughness)
+    grid = DetectorGrid(n_theta=args.theta_bins, n_phi=args.phi_bins,
+                        width=args.detector_size, height=args.detector_size)
+    sw = sweep_scatter_retrace(scene, source, n_rays=args.rays, grid=grid,
+                               seed=args.seed)
+    np.savetxt(args.out_file,
+               np.column_stack([
+                   np.repeat((np.arange(grid.n_theta) + 0.5)
+                             * (grid.theta_hi - grid.theta_lo)
+                             / grid.n_theta, grid.n_phi),
+                   np.tile((np.arange(grid.n_phi) + 0.5)
+                           * (grid.phi_hi - grid.phi_lo) / grid.n_phi,
+                           grid.n_theta),
+                   sw.fluxmap.ravel()]),
+               fmt="%.6f", delimiter=",", header="theta,phi,fraction",
+               comments="")
+    print(f"{grid.n_positions} positions in {sw.wall_time_s:.2f}s -> "
+          f"{args.out_file}")
+    return 0
+
+
 def cmd_analyze(args):
     from .analysis import analyze
 
@@ -205,6 +235,20 @@ def main(argv=None) -> int:
                    help="showRedRaysOnly mode")
     p.add_argument("--out-file", default="rays.png")
     p.set_defaults(fn=cmd_visualize)
+
+    p = sub.add_parser("scatter-retrace",
+                       help="two-stage BRDF scatter-retrace sweep "
+                            "(nonLambertianFlux methodology)")
+    _add_scene_args(p)
+    p.add_argument("--rays", type=int, default=100_000)
+    p.add_argument("--theta-bins", type=int, default=45)
+    p.add_argument("--phi-bins", type=int, default=20)
+    p.add_argument("--detector-size", type=float, default=10.0)
+    p.add_argument("--specular", type=float, default=0.4)
+    p.add_argument("--diffuse", type=float, default=0.6)
+    p.add_argument("--brdf-roughness", type=float, default=0.3)
+    p.add_argument("--out-file", default="fluxmap_data.csv")
+    p.set_defaults(fn=cmd_scatter_retrace)
 
     p = sub.add_parser("analyze", help="flux-map analysis/plots")
     p.add_argument("path")

@@ -1,0 +1,91 @@
+#!/usr/bin/env python
+"""Multi-host (multi-process) distributed sweep demo.
+
+Runs the sharded trace-once flux map across SEVERAL JAX PROCESSES joined via
+``jax.distributed`` — the DCN story the reference never had (SURVEY.md
+§5.8).  Each process contributes its local devices to one global mesh; the
+sweep code is unchanged (single-controller JAX).
+
+Demo/CI usage (CPU, one virtual device per process):
+
+    python tools/multihost_demo.py --launch 2
+
+Real multi-host TPU usage: run one copy per host with the coordinator
+address of host 0:
+
+    python tools/multihost_demo.py --coordinator <host0>:9876 \
+        --num-processes <H> --process-id <i>
+"""
+
+import argparse
+import os
+import subprocess
+import sys
+
+
+def worker(coordinator: str, num_processes: int, process_id: int,
+           n_rays: int) -> int:
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    jax.distributed.initialize(coordinator_address=coordinator,
+                               num_processes=num_processes,
+                               process_id=process_id)
+
+    from altair_tpu import DetectorGrid, SCENE_OPTIMIZE, SOURCE_OVERNIGHT, TraceConfig
+    from altair_tpu.parallel import make_mesh, sharded_fluxmap
+
+    mesh = make_mesh()
+    scene = SCENE_OPTIMIZE.with_(max_bounces=512)
+    grid = DetectorGrid(n_theta=6, n_phi=4)
+    counts, n_exit = sharded_fluxmap(
+        mesh, jax.random.key(0), scene, SOURCE_OVERNIGHT, grid, n_rays,
+        TraceConfig(block_iters=16))
+    # every process holds the same psum-merged result
+    import numpy as np
+
+    total = int(np.asarray(counts).sum())
+    frac = int(n_exit) / n_rays
+    print(f"[process {process_id}/{num_processes}] devices="
+          f"{jax.device_count()} (local {jax.local_device_count()}) "
+          f"hits={total} exit_frac={frac:.4f}", flush=True)
+    assert 0.38 < frac < 0.47, frac
+    return 0
+
+
+def launch(n_processes: int, n_rays: int) -> int:
+    """Spawn n worker processes on this machine (CPU backend)."""
+    port = 17717
+    procs = []
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env.pop("PALLAS_AXON_POOL_IPS", None)  # see .claude/skills/verify
+    for i in range(n_processes):
+        procs.append(subprocess.Popen(
+            [sys.executable, __file__, "--coordinator",
+             f"localhost:{port}", "--num-processes", str(n_processes),
+             "--process-id", str(i), "--rays", str(n_rays)],
+            env=env))
+    rc = 0
+    for p in procs:
+        rc |= p.wait(timeout=600)
+    return rc
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--launch", type=int, default=None,
+                    help="spawn N local worker processes (demo mode)")
+    ap.add_argument("--coordinator", default=None)
+    ap.add_argument("--num-processes", type=int, default=None)
+    ap.add_argument("--process-id", type=int, default=None)
+    ap.add_argument("--rays", type=int, default=16_384)
+    args = ap.parse_args()
+    if args.launch:
+        return launch(args.launch, args.rays)
+    return worker(args.coordinator, args.num_processes, args.process_id,
+                  args.rays)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
