@@ -87,6 +87,11 @@ class SphereScene:
     # --- static metadata ---
     surface_model: SurfaceModel = SurfaceModel.LAMBERTIAN
     max_bounces: int = 50000           # MAX_REFLECTIONS, fluxAtObserverOptimize.C:36
+    exact_rim: bool = True             # model the shell's conical rim face
+                                       # (TGeoSphere theta-range boundary):
+                                       # ~4.6% of escaping rays clip it and
+                                       # reflect in ROBAST; required for
+                                       # corpus-exact exit fractions
 
     @property
     def theta_max_rad(self):
@@ -103,7 +108,7 @@ _register(
         "roughness", "world_half", "exit_port_z", "specular_prob",
         "diffuse_prob", "brdf_roughness", "cos_n", "max_angle_deg",
     ],
-    meta_fields=["surface_model", "max_bounces"],
+    meta_fields=["surface_model", "max_bounces", "exact_rim"],
 )
 
 

@@ -163,6 +163,68 @@ def ray_box_exit_t(p: Vec3, d: Vec3, half) -> jax.Array:
     )
 
 
+def cone_crossing_t(p: Vec3, d: Vec3, cos_theta_max, r_lo, r_hi,
+                    inf: float = 1e30) -> jax.Array:
+    """Smallest positive crossing of the port-rim cone (polar angle ==
+    theta_max, z < 0 nappe) with radius within [r_lo, r_hi]; ``inf`` where
+    none.
+
+    The TGeoSphere shell's annular rim face (``fluxAtObserverOptimize.C:204``
+    theta range) — escaping rays clipping it reflect in ROBAST.  Cone:
+    z^2 = cos^2(theta_max) |q|^2 on the z<0 branch.
+    """
+    c2 = cos_theta_max * cos_theta_max
+    dd = d.dot(d)
+    A = d.z * d.z - c2 * dd
+    B = 2.0 * (p.z * d.z - c2 * p.dot(d))
+    C = p.z * p.z - c2 * p.norm2()
+    safe_A = jnp.where(jnp.abs(A) < 1e-20, 1.0, A)
+    disc = B * B - 4.0 * A * C
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    s_lin = jnp.where(jnp.abs(B) > 0, -C / jnp.where(B == 0, 1.0, B), inf)
+    roots = [
+        jnp.where(jnp.abs(A) < 1e-20, s_lin, (-B - sq) / (2.0 * safe_A)),
+        jnp.where(jnp.abs(A) < 1e-20, inf, (-B + sq) / (2.0 * safe_A)),
+    ]
+    best = jnp.full_like(p.x, inf)
+    for s in roots:
+        q = p + d.scale(s)
+        r = q.norm()
+        ok = ((s > 1e-6) & (disc >= 0) & (q.z < 0)
+              & (r >= r_lo - 1e-6) & (r <= r_hi + 1e-6))
+        best = jnp.where(ok & (s < best), s, best)
+    return best
+
+
+def cone_face_normal(p: Vec3) -> Vec3:
+    """Unit normal of the rim cone face pointing into the hole side
+    (theta_hat, the increasing-polar-angle direction)."""
+    r = p.norm()
+    rho = jnp.sqrt(p.x * p.x + p.y * p.y)
+    safe_rho = jnp.where(rho < 1e-12, 1.0, rho)
+    nx = p.z / r * p.x / safe_rho
+    ny = p.z / r * p.y / safe_rho
+    nz = -rho / r
+    # degenerate apex (rho ~ 0) cannot occur on the rim band; guard anyway
+    return Vec3(jnp.where(rho < 1e-12, 1.0, nx),
+                jnp.where(rho < 1e-12, 0.0, ny),
+                jnp.where(rho < 1e-12, 0.0, nz))
+
+
+def sphere_crossing_t(p: Vec3, d: Vec3, radius, inf: float = 1e30):
+    """Smallest positive crossing of ``|q| = radius`` from anywhere (inside
+    or outside); ``inf`` where none."""
+    b = p.dot(d)
+    c = p.norm2() - radius * radius
+    disc = b * b - c
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    s1 = -b - sq
+    s2 = -b + sq
+    out = jnp.where((disc >= 0) & (s1 > 1e-6), s1,
+                    jnp.where((disc >= 0) & (s2 > 1e-6), s2, inf))
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Observer detector placement & disk test  (Detector struct,
 # fluxAtObserver.C:31-107)

@@ -205,7 +205,8 @@ def _lambertian_kernel(seed_ref, scene_ref, src_ref, zeros_ref, status_ref,
 
 def _supported(scene: SphereScene) -> bool:
     return (not callable(scene.surface_model)
-            and SurfaceModel(scene.surface_model) == SurfaceModel.LAMBERTIAN)
+            and SurfaceModel(scene.surface_model) == SurfaceModel.LAMBERTIAN
+            and not scene.exact_rim)  # rim/gap region not implemented here
 
 
 def trace_rays_pallas(

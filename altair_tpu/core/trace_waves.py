@@ -24,40 +24,8 @@ import jax
 import jax.numpy as jnp
 
 from ..config import SphereScene, Source, TraceConfig
-from .geometry import Vec3, ray_box_exit_t, sphere_hit
-from .sampling import scatter
-from .trace import ABSORBED, EXITED, RUNNING, SUSPENDED, TraceResult
-
-
-def _bounce(key, scene, n, cfg, it, carry):
-    """One bounce over the carry state (same physics as trace.bounce_once)."""
-    pos, direction, prev, status, bounces = carry
-    dtype = cfg.dtype
-    radius = jnp.asarray(scene.inner_radius, dtype)
-    cos_cap = radius * jnp.cos(jnp.deg2rad(
-        jnp.asarray(scene.theta_max_deg, dtype)))
-    reflectance = jnp.asarray(scene.reflectance, dtype)
-    world_half = jnp.asarray(scene.world_half, dtype)
-
-    active = status == RUNNING
-    q = sphere_hit(pos, direction, radius)
-    escaped = q.z < cos_cap
-    k_it = jax.random.fold_in(key, it)
-    k_surv, k_scat = jax.random.split(k_it)
-    survive = jax.random.uniform(k_surv, (n,), dtype) < reflectance
-    normal = q.scale(-1.0 / radius)
-    new_dir = scatter(k_scat, scene.surface_model, direction, normal, scene)
-    t_box = ray_box_exit_t(pos, direction, world_half)
-    box_pt = pos + direction.scale(t_box)
-    new_status = jnp.where(escaped, EXITED,
-                           jnp.where(survive, RUNNING, ABSORBED)).astype(
-                               jnp.int32)
-    status = jnp.where(active, new_status, status)
-    prev = Vec3.where(active, pos, prev)
-    pos = Vec3.where(active, Vec3.where(escaped, box_pt, q), pos)
-    direction = Vec3.where(active & ~escaped & survive, new_dir, direction)
-    bounces = jnp.where(active & ~escaped, bounces + 1, bounces)
-    return pos, direction, prev, status, bounces
+from .geometry import Vec3
+from .trace import ABSORBED, RUNNING, SUSPENDED, TraceResult, make_bounce_step
 
 
 def trace_rays_waves(
@@ -100,13 +68,13 @@ def trace_rays_waves(
     it0 = 0
     # wave over the full batch
     wkey = jax.random.fold_in(key, 0)
-    carry = (pos, direction, pos, out_status, out_bounces)
+    step = make_bounce_step(wkey, scene, n_rays, cfg)
+    in_gap = jnp.zeros(shape, bool)
+    carry = (pos, direction, pos, out_status, out_bounces, in_gap)
     iters = min(wave_iters, max_iters)
-    carry = jax.lax.fori_loop(
-        0, iters, lambda j, c: _bounce(wkey, scene, n_rays, cfg, j, c),
-        carry)
+    carry = jax.lax.fori_loop(0, iters, step, carry)
     it0 += iters
-    pos, direction, prev, status, bounces = carry
+    pos, direction, prev, status, bounces, in_gap = carry
     out_pos, out_dir, out_prev = pos, direction, prev
     out_status, out_bounces = status, bounces
     perm = jnp.arange(n_rays)
@@ -132,19 +100,19 @@ def trace_rays_waves(
         direction = gv(direction)
         prev = gv(prev)
         bounces = g(bounces)
+        in_gap = g(in_gap.astype(jnp.int32)).astype(bool)
         status = jnp.where(valid, RUNNING, ABSORBED).astype(jnp.int32)
         # invalid (padding) lanes get perm = n_rays so every later scatter
         # of their state is dropped out-of-bounds
         perm = jnp.where(valid, perm[jnp.minimum(idx, m - 1)], n_rays)
 
         wkey = jax.random.fold_in(key, wave)
+        step = make_bounce_step(wkey, scene, m_next, cfg)
         iters = min(wave_iters, max_iters - it0)
-        carry = (pos, direction, prev, status, bounces)
-        carry = jax.lax.fori_loop(
-            0, iters, lambda j, c: _bounce(wkey, scene, m_next, cfg, j, c),
-            carry)
+        carry = (pos, direction, prev, status, bounces, in_gap)
+        carry = jax.lax.fori_loop(0, iters, step, carry)
         it0 += iters
-        pos, direction, prev, status, bounces = carry
+        pos, direction, prev, status, bounces, in_gap = carry
 
         # scatter this wave's state back into the output buffers
         sidx = perm  # padding lanes carry perm = n_rays -> dropped
@@ -165,6 +133,7 @@ def trace_rays_waves(
     # tail: finish stragglers with the exact while loop on the small buffer
     if it0 < max_iters:
         wkey = jax.random.fold_in(key, 10_000 + wave)
+        step = make_bounce_step(wkey, scene, m, cfg)
 
         def cond(state):
             it, carry = state
@@ -173,12 +142,13 @@ def trace_rays_waves(
         def body(state):
             it, carry = state
             carry = jax.lax.fori_loop(
-                0, 16, lambda j, c: _bounce(wkey, scene, m, cfg, it + j, c),
-                carry)
+                0, 16, lambda j, c: step(it + j, c), carry)
             return it + 16, carry
 
-        _, (pos, direction, prev, status, bounces) = jax.lax.while_loop(
-            cond, body, (0, (pos, direction, prev, status, bounces)))
+        _, (pos, direction, prev, status, bounces, in_gap) = (
+            jax.lax.while_loop(
+                cond, body,
+                (0, (pos, direction, prev, status, bounces, in_gap))))
         if m < n_rays:
             sidx = perm
             out_status = out_status.at[sidx].set(status, mode="drop")

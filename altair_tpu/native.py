@@ -56,6 +56,13 @@ def _bind(lib):
         c_d, c_d, c_d, c_d, c_d, c_d,
         p_i32, p_f64, p_f64, p_f64, p_i32,
     ]
+    lib.altair_trace_ex.restype = c_ll
+    lib.altair_trace_ex.argtypes = [
+        c_ll, c_u64,
+        c_d, c_d, c_d, c_d, c_d, c_d, c_ll, ctypes.c_int,
+        c_d, c_d, c_d, c_d, c_d, c_d,
+        p_i32, p_f64, p_f64, p_f64, p_i32,
+    ]
     lib.altair_score_grid.restype = None
     lib.altair_score_grid.argtypes = [
         c_ll, p_f64, p_f64, p_u8,
@@ -89,10 +96,17 @@ class NativeTraceResult:
 
 
 def trace_rays_native(scene: SphereScene, source: Source, n_rays: int,
-                      seed: int = 0) -> NativeTraceResult:
+                      seed: int = 0,
+                      exact_rim: bool | None = None) -> NativeTraceResult:
     """Run the compiled bounce loop (Lambertian walls only — the native tier
     implements the production scatter law; other BRDFs live on the JAX
-    path)."""
+    path).
+
+    ``exact_rim=True`` models the shell's conical rim face (theta ==
+    theta_max, r in [inner, outer]): escaping rays that clip it reflect
+    Lambertian (+ roulette) instead of passing through — ROBAST's exact
+    TGeoSphere behaviour.  ~4.6% of escaping rays clip the rim at port 170.
+    """
     lib = _load()
     if lib is None:
         raise RuntimeError(
@@ -100,16 +114,20 @@ def trace_rays_native(scene: SphereScene, source: Source, n_rays: int,
     if callable(scene.surface_model) or int(scene.surface_model) != 0:
         raise NotImplementedError(
             "native tracer implements the Lambertian production scene")
+    if exact_rim is None:
+        exact_rim = bool(scene.exact_rim)
     status = np.empty(n_rays, np.int32)
     last = np.empty((n_rays, 3), np.float64)
     seg = np.empty((n_rays, 3), np.float64)
     dirs = np.empty((n_rays, 3), np.float64)
     bounces = np.empty(n_rays, np.int32)
-    n_exit = lib.altair_trace(
+    n_exit = lib.altair_trace_ex(
         n_rays, seed,
-        float(scene.inner_radius), float(scene.theta_max_deg),
+        float(scene.inner_radius), float(scene.outer_radius),
+        float(scene.theta_max_deg),
         float(scene.reflectance), float(scene.world_half),
         float(scene.exit_port_z), int(scene.max_bounces),
+        1 if exact_rim else 0,
         float(source.x), float(source.y), float(source.z),
         float(source.dir_x), float(source.dir_y), float(source.dir_z),
         status, last.reshape(-1), seg.reshape(-1), dirs.reshape(-1), bounces)

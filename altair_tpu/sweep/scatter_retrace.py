@@ -36,56 +36,32 @@ from ..core.trace import EXITED, RUNNING, TraceResult, trace_rays
 
 
 def _retrace_from(key, scene, pos: Vec3, direction: Vec3, n_rays, cfg):
-    """Continue rays from arbitrary interior points/directions — the second
-    ``TraceNonSequential`` call of the macro.  Implemented by running the
-    bounce loop with a custom initial state."""
-    from ..core.geometry import in_port_cap, ray_box_exit_t, sphere_hit
-    from ..core.sampling import scatter
+    """Continue rays from arbitrary interior/on-shell points — the second
+    ``TraceNonSequential`` call of the macro.  Runs the shared bounce step
+    (incl. exact-rim handling) with a custom initial state."""
+    from ..core.geometry import ray_box_exit_t
+    from ..core.trace import make_bounce_step
 
     dtype = cfg.dtype
     radius = jnp.asarray(scene.inner_radius, dtype)
-    theta_max = jnp.deg2rad(jnp.asarray(scene.theta_max_deg, dtype))
-    cos_cap = radius * jnp.cos(theta_max)
-    reflectance = jnp.asarray(scene.reflectance, dtype)
     world_half = jnp.asarray(scene.world_half, dtype)
 
-    # points outside the sphere (|p| > r) fly straight to the box: treat as
-    # exited if their forward path has z < exit threshold
-    inside = pos.norm2() < radius * radius
-    status0 = jnp.where(inside, RUNNING, EXITED).astype(jnp.int32)
+    # endpoints on/inside the shell re-trace; far-outside endpoints (e.g.
+    # the world-box last points of already-exited rays) fly straight on.
+    # The 0.5 cm tolerance keeps on-sphere wall endpoints (|p| == r up to
+    # fp error) on the traceable side.
+    traceable = pos.norm2() < (radius + 0.5) * (radius + 0.5)
+    status0 = jnp.where(traceable, RUNNING, EXITED).astype(jnp.int32)
 
-    def bounce_once(it, carry):
-        pos, direction, prev, status, bounces = carry
-        active = status == RUNNING
-        q = sphere_hit(pos, direction, radius)
-        escaped = q.z < cos_cap
-        k_it = jax.random.fold_in(key, it)
-        k_surv, k_scat = jax.random.split(k_it)
-        survive = jax.random.uniform(k_surv, (n_rays,), dtype) < reflectance
-        normal = q.scale(-1.0 / radius)
-        new_dir = scatter(k_scat, scene.surface_model, direction, normal,
-                          scene)
-        t_box = ray_box_exit_t(pos, direction, world_half)
-        box_pt = pos + direction.scale(t_box)
-        new_status = jnp.where(escaped, EXITED,
-                               jnp.where(survive, RUNNING, 2)).astype(
-                                   jnp.int32)
-        status_new = jnp.where(active, new_status, status)
-        prev = Vec3.where(active, pos, prev)
-        pos = Vec3.where(active, Vec3.where(escaped, box_pt, q), pos)
-        direction = Vec3.where(active & ~escaped & survive, new_dir,
-                               direction)
-        bounces = jnp.where(active & ~escaped, bounces + 1, bounces)
-        return pos, direction, prev, status_new, bounces
-
-    # outside-sphere starts: propagate straight to the box
+    # outside starts: propagate straight to the box
     t_box0 = ray_box_exit_t(pos, direction, world_half)
     box0 = pos + direction.scale(t_box0)
     prev0 = pos
-    pos = Vec3.where(inside, pos, box0)
+    pos = Vec3.where(traceable, pos, box0)
 
     max_iters = int(scene.max_bounces)
     block = max(1, min(32, max_iters))
+    step = make_bounce_step(key, scene, n_rays, cfg)
 
     def cond(state):
         it, carry = state
@@ -93,13 +69,14 @@ def _retrace_from(key, scene, pos: Vec3, direction: Vec3, n_rays, cfg):
 
     def body(state):
         it, carry = state
-        carry = jax.lax.fori_loop(0, block, lambda j, c: bounce_once(
-            it + j, c), carry)
+        carry = jax.lax.fori_loop(0, block,
+                                  lambda j, c: step(it + j, c), carry)
         return it + block, carry
 
     bounces0 = jnp.zeros((n_rays,), jnp.int32)
-    _, (pos, direction, prev, status, bounces) = jax.lax.while_loop(
-        cond, body, (0, (pos, direction, prev0, status0, bounces0)))
+    in_gap0 = jnp.zeros((n_rays,), bool)
+    _, (pos, direction, prev, status, bounces, _) = jax.lax.while_loop(
+        cond, body, (0, (pos, direction, prev0, status0, bounces0, in_gap0)))
     status = jnp.where(status == RUNNING, 3, status)
     return TraceResult(status, pos, prev, direction, bounces)
 

@@ -73,9 +73,11 @@ def stack_scenes(base: SphereScene, **param_arrays) -> SphereScene:
     axis; remaining fields broadcast.  E.g.
     ``stack_scenes(SCENE_OPTIMIZE, theta_max_deg=jnp.arange(163, 179))``."""
     n = len(next(iter(param_arrays.values())))
+    # static metadata fields stay scalar (they are not vmappable)
+    meta = {"surface_model", "max_bounces", "exact_rim"}
     fields = {}
     for f in dataclasses.fields(base):
-        if f.name in ("surface_model", "max_bounces"):
+        if f.name in meta:
             continue
         v = param_arrays.get(f.name)
         if v is None:

@@ -131,20 +131,77 @@ extern "C" {
 // Status codes match altair_tpu.core.trace.
 enum { RUNNING = 0, EXITED = 1, ABSORBED = 2, SUSPENDED = 3 };
 
+namespace {
+
+// Smallest positive crossing of the cone theta == theta_max (z<0 nappe)
+// with radius within [r_lo, r_hi]; +inf if none.  cos2 = cos^2(theta_max).
+inline double cone_crossing(V3 p, V3 d, double cos2, double r_lo,
+                            double r_hi) {
+  double A = d.z * d.z - cos2 * dot(d, d);
+  double B = 2 * (p.z * d.z - cos2 * dot(p, d));
+  double C = p.z * p.z - cos2 * dot(p, p);
+  double best = 1e300;
+  auto consider = [&](double s) {
+    if (s <= 1e-9 || s >= best) return;
+    V3 q = p + d * s;
+    if (q.z >= 0) return;  // wrong nappe
+    double r = norm(q);
+    if (r >= r_lo - 1e-9 && r <= r_hi + 1e-9) best = s;
+  };
+  if (std::fabs(A) < 1e-300) {
+    if (std::fabs(B) > 0) consider(-C / B);
+  } else {
+    double disc = B * B - 4 * A * C;
+    if (disc >= 0) {
+      double sd = std::sqrt(disc);
+      consider((-B - sd) / (2 * A));
+      consider((-B + sd) / (2 * A));
+    }
+  }
+  return best;
+}
+
+// Smallest positive crossing of sphere |q| = r; +inf if none.
+inline double sphere_crossing(V3 p, V3 d, double r) {
+  double b = dot(p, d);
+  double c = dot(p, p) - r * r;
+  double disc = b * b - c;
+  if (disc < 0) return 1e300;
+  double sd = std::sqrt(disc);
+  double s1 = -b - sd, s2 = -b + sd;
+  if (s1 > 1e-9) return s1;
+  if (s2 > 1e-9) return s2;
+  return 1e300;
+}
+
+// Lambertian re-emission from a cone-face point into the hole side
+// (normal = +theta_hat, the increasing-polar-angle direction).
+inline V3 cone_face_normal(V3 p) {
+  double r = norm(p);
+  double rho = std::sqrt(p.x * p.x + p.y * p.y);
+  if (rho < 1e-12) return {1, 0, 0};  // degenerate (apex) — arbitrary
+  return {p.z / r * p.x / rho, p.z / r * p.y / rho, -rho / r};
+}
+
+}  // namespace
+
 // Trace n rays.  Outputs (size n unless noted): status, last_point[3n],
 // seg_start[3n], direction[3n], n_bounces.  Returns number of rays whose
 // last point passed the exit-z test.
-long long altair_trace(
+long long altair_trace_ex(
     long long n, uint64_t seed,
     // scene (altair_tpu.config.SphereScene semantics)
-    double inner_radius, double theta_max_deg, double reflectance,
-    double world_half, double exit_port_z, long long max_bounces,
+    double inner_radius, double outer_radius, double theta_max_deg,
+    double reflectance, double world_half, double exit_port_z,
+    long long max_bounces, int exact_rim,
     // source
     double sx, double sy, double sz, double dx, double dy, double dz,
     // outputs
     int32_t* status, double* last_point, double* seg_start,
     double* direction, int32_t* n_bounces) {
-  const double cos_cap = inner_radius * std::cos(theta_max_deg * M_PI / 180.0);
+  const double theta_max = theta_max_deg * M_PI / 180.0;
+  const double cos_cap = inner_radius * std::cos(theta_max);
+  const double cos2 = std::cos(theta_max) * std::cos(theta_max);
   const V3 src{sx, sy, sz};
   const V3 sdir = unit({dx, dy, dz});
   long long n_exit = 0;
@@ -156,29 +213,95 @@ long long altair_trace(
     V3 p = src, d = sdir, prev = src;
     int st = RUNNING;
     int32_t bounces = 0;
-    for (long long k = 0; k < max_bounces; ++k) {
-      double t = sphere_exit_t(p, d, inner_radius);
-      V3 q = p + d * t;
-      double rn = inner_radius / norm(q);
-      q = q * rn;  // re-project (parity with the TPU kernel)
-      if (q.z < cos_cap) {  // escaped through the port cap
-        double tb = box_exit_t(p, d, world_half);
-        prev = p;
-        p = p + d * tb;
-        st = EXITED;
-        break;
-      }
-      ++bounces;
-      if (rng.uniform() >= reflectance) {  // absorbed by roulette
+    bool in_gap = false;  // true: position is in the hole/gap region
+                          // (r in [r_in, r_out], theta > theta_max)
+    for (long long k = 0; k < max_bounces && st == RUNNING; ++k) {
+      if (!in_gap) {
+        // --- interior of the sphere -----------------------------------
+        double t = sphere_exit_t(p, d, inner_radius);
+        V3 q = p + d * t;
+        double rn = inner_radius / norm(q);
+        q = q * rn;  // re-project (parity with the TPU kernel)
+        if (q.z < cos_cap) {  // heading out through the port cap
+          if (exact_rim) {
+            // the escaping flight may clip the shell's conical rim face
+            // (theta == theta_max, r in [r_in, r_out]) — ROBAST reflects
+            // there (same mirror + border condition)
+            double s = cone_crossing(q, d, cos2, inner_radius, outer_radius);
+            if (s < 1e300) {
+              V3 pc = q + d * s;
+              ++bounces;
+              if (rng.uniform() >= reflectance) {
+                prev = p;
+                p = pc;
+                st = ABSORBED;
+                break;
+              }
+              prev = p;
+              p = pc;
+              d = cosine_hemisphere(rng, cone_face_normal(pc));
+              in_gap = true;
+              continue;
+            }
+          }
+          double tb = box_exit_t(p, d, world_half);
+          prev = p;
+          p = p + d * tb;
+          st = EXITED;
+          break;
+        }
+        ++bounces;
+        if (rng.uniform() >= reflectance) {  // absorbed by roulette
+          prev = p;
+          p = q;
+          st = ABSORBED;
+          break;
+        }
+        V3 nrm = q * (-1.0 / inner_radius);
         prev = p;
         p = q;
-        st = ABSORBED;
-        break;
+        d = cosine_hemisphere(rng, nrm);
+      } else {
+        // --- gap/hole region (between the shell radii, theta>theta_max,
+        // or outward past the rim) — nearest of: cone face (reflect),
+        // inner sphere (re-enter the interior through the cap), outer
+        // sphere (escape outward) ---------------------------------------
+        double s_cone = cone_crossing(p, d, cos2, inner_radius, outer_radius);
+        double s_in = sphere_crossing(p, d, inner_radius);
+        double s_out = sphere_crossing(p, d, outer_radius);
+        // sphere crossings on the shell side (theta <= theta_max) are
+        // unreachable without passing the cone first, so no theta check
+        // is needed when the cone is handled as a candidate.
+        if (s_cone < s_in && s_cone < s_out) {
+          V3 pc = p + d * s_cone;
+          ++bounces;
+          if (rng.uniform() >= reflectance) {
+            prev = p;
+            p = pc;
+            st = ABSORBED;
+            break;
+          }
+          prev = p;
+          p = pc;
+          d = cosine_hemisphere(rng, cone_face_normal(pc));
+        } else if (s_in < s_out) {
+          // re-enters the interior through the inner-cap hole
+          V3 q = p + d * s_in;
+          prev = p;
+          p = q * (inner_radius / norm(q));
+          in_gap = false;
+        } else if (s_out < 1e300) {
+          // escapes outward past the outer radius — free flight to the box
+          double tb = box_exit_t(p, d, world_half);
+          prev = p;
+          p = p + d * tb;
+          st = EXITED;
+          break;
+        } else {
+          // numerically stuck (should not happen) — suspend
+          break;
+        }
       }
-      V3 nrm = q * (-1.0 / inner_radius);
-      prev = p;
-      p = q;
-      d = cosine_hemisphere(rng, nrm);
     }
     if (st == RUNNING) st = SUSPENDED;
     status[i] = st;
@@ -195,6 +318,20 @@ long long altair_trace(
     if (st == EXITED && p.z < exit_port_z) ++n_exit;
   }
   return n_exit;
+}
+
+// Back-compat ABI: the original entry point without rim handling.
+long long altair_trace(
+    long long n, uint64_t seed,
+    double inner_radius, double theta_max_deg, double reflectance,
+    double world_half, double exit_port_z, long long max_bounces,
+    double sx, double sy, double sz, double dx, double dy, double dz,
+    int32_t* status, double* last_point, double* seg_start,
+    double* direction, int32_t* n_bounces) {
+  return altair_trace_ex(n, seed, inner_radius, inner_radius + 0.9,
+                         theta_max_deg, reflectance, world_half, exit_port_z,
+                         max_bounces, /*exact_rim=*/0, sx, sy, sz, dx, dy, dz,
+                         status, last_point, seg_start, direction, n_bounces);
 }
 
 // Trace-once detector-grid scorer: for each of the n_pos detectors

@@ -29,8 +29,10 @@ class TestNativeTrace:
     def test_statuses_and_geometry(self, nres):
         assert set(np.unique(nres.status)) <= {1, 2}
         absorbed = nres.last_point[nres.status == 2]
-        np.testing.assert_allclose(
-            np.linalg.norm(absorbed, axis=1), 100.1, rtol=1e-9)
+        r = np.linalg.norm(absorbed, axis=1)
+        # wall absorptions at r = 100.1; rim-face absorptions in the band
+        assert (r > 100.1 - 1e-6).all() and (r < 101.0 + 1e-6).all()
+        assert (np.abs(r - 100.1) < 1e-6).mean() > 0.95
         exited = nres.last_point[nres.status == 1]
         assert (np.abs(exited).max(axis=1) > 299.0).all()  # on the world box
 

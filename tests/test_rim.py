@@ -1,0 +1,60 @@
+"""Shell-rim physics (SphereScene.exact_rim) — the TGeoSphere theta-range
+boundary that ~4.6% of escaping rays clip (see docs/PARITY.md §1)."""
+
+import jax
+import numpy as np
+import pytest
+
+from altair_tpu import SCENE_OPTIMIZE, SOURCE_OVERNIGHT, native
+from altair_tpu.core.trace import EXITED, exit_count, trace_rays_jit
+
+SCENE = SCENE_OPTIMIZE.with_(max_bounces=4096)  # exact_rim=True by default
+N = 50_000
+
+
+class TestRimPhysics:
+    def test_rim_lowers_exit_fraction(self):
+        rim = trace_rays_jit(jax.random.key(3), SCENE, SOURCE_OVERNIGHT, N)
+        simple = trace_rays_jit(jax.random.key(3),
+                                SCENE.with_(exact_rim=False),
+                                SOURCE_OVERNIGHT, N)
+        f_rim = float(exit_count(rim)) / N
+        f_simple = float(exit_count(simple)) / N
+        # 2M-ray native measurements: 0.4247 vs 0.4290 at port 170
+        assert f_rim < f_simple
+        assert 0.0015 < f_simple - f_rim < 0.009, (f_simple, f_rim)
+
+    def test_rim_centers_on_corpus(self):
+        """With the rim, exit fractions sit on the corpus centres
+        (0.748 / 0.655 / 0.425) rather than at the range tops."""
+        for port, center in ((160.0, 0.748), (164.0, 0.655), (170.0, 0.425)):
+            res = trace_rays_jit(jax.random.key(4),
+                                 SCENE.with_(theta_max_deg=port),
+                                 SOURCE_OVERNIGHT, N)
+            frac = float(exit_count(res)) / N
+            assert abs(frac - center) < 0.008, (port, frac)
+
+    def test_all_terminate_with_rim(self):
+        res = trace_rays_jit(jax.random.key(5), SCENE, SOURCE_OVERNIGHT, N)
+        st = np.asarray(res.status)
+        assert ((st == 1) | (st == 2)).all()
+
+    def test_absorbed_points_on_shell_or_rim(self):
+        res = trace_rays_jit(jax.random.key(5), SCENE, SOURCE_OVERNIGHT, N)
+        st = np.asarray(res.status)
+        p = np.asarray(res.last_point.stack())[st == 2]
+        r = np.linalg.norm(p, axis=1)
+        # wall absorptions at r = 100.1; rim absorptions within the shell band
+        assert (r > 100.1 - 1e-2).all()
+        assert (r < 101.0 + 1e-2).all()
+
+    @pytest.mark.skipif(not native.available(),
+                        reason="native library not built")
+    def test_matches_native_rim_oracle(self):
+        res = trace_rays_jit(jax.random.key(6), SCENE, SOURCE_OVERNIGHT, N)
+        f_jax = float(exit_count(res)) / N
+        nres = native.trace_rays_native(SCENE, SOURCE_OVERNIGHT, N, seed=11)
+        f_nat = nres.n_exited / N
+        # independent implementations, independent streams: 4 sigma
+        sigma = 4 * np.sqrt(0.425 * 0.575 / N) * np.sqrt(2)
+        assert abs(f_jax - f_nat) < sigma, (f_jax, f_nat)

@@ -63,7 +63,11 @@ class TestStatuses:
         st = np.asarray(result.status)
         p = np.asarray(result.last_point.stack())
         r = np.linalg.norm(p[st == ABSORBED], axis=1)
-        np.testing.assert_allclose(r, 100.1, rtol=1e-4)
+        # wall absorptions at r = 100.1; rim-face absorptions (exact_rim)
+        # anywhere in the shell band [100.1, 101]
+        assert (r > 100.1 - 0.02).all() and (r < 101.0 + 0.02).all()
+        # the vast majority are ordinary wall absorptions
+        assert (np.abs(r - 100.1) < 0.01).mean() > 0.95
 
     def test_final_segment_consistent(self, result):
         """direction == normalize(last_point - seg_start) — the RayEndpoint

@@ -37,8 +37,8 @@ class TestWaves:
         st = np.asarray(res.status)
         assert ((st == 1) | (st == 2)).all()
         ab = np.asarray(res.last_point.stack())[st == 2]
-        np.testing.assert_allclose(np.linalg.norm(ab, axis=1), 100.1,
-                                   rtol=1e-3)
+        r = np.linalg.norm(ab, axis=1)
+        assert (r > 100.1 - 0.02).all() and (r < 101.0 + 0.02).all()
 
     def test_segment_consistency(self, wave_result):
         res, _ = wave_result
