@@ -83,9 +83,12 @@ def cmd_series(args):
             scene, source, port_angles=args.port_angles, n_rays=args.rays)
         for p, e in zip(args.port_angles, exits):
             print(f"port {p}: exit fraction {e / args.rays:.4f}")
-        np.save(args.out_npz if hasattr(args, "out_npz") else
-                "series_fluxmaps.npy", counts)
-        print("fluxmaps saved to series_fluxmaps.npy")
+        import os
+
+        os.makedirs(args.out, exist_ok=True)
+        out_path = os.path.join(args.out, "series_fluxmaps.npy")
+        np.save(out_path, counts)
+        print(f"fluxmaps saved to {out_path}")
     else:
         from .sweep import run_series
 

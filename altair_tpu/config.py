@@ -193,8 +193,9 @@ class TraceConfig:
 
     dtype: Any = jnp.float32
     block_iters: int = 32
-    rng_impl: str = "threefry2x32"   # "rbg" is faster on TPU, threefry is the
-                                     # counter-based reproducible default
+    rng_impl: str = "threefry2x32"   # "rbg" is ~20% faster on TPU; threefry
+                                     # is the counter-based reproducible
+                                     # default (used via make_key())
     keep_history: int = 0            # >0: record up to N path points (viz only)
 
 
@@ -250,6 +251,12 @@ def validate(scene: SphereScene, source: Source) -> None:
     if _concrete(scene.reflectance) and not (
             0.0 <= float(scene.reflectance) <= 1.0):
         raise ValueError("reflectance must be a probability")
+
+
+def make_key(seed: int, cfg: TraceConfig) -> "jax.Array":
+    """Seed -> PRNG key honouring ``cfg.rng_impl`` (the sweep drivers route
+    their seeds through this)."""
+    return jax.random.key(seed, impl=cfg.rng_impl)
 
 
 SOURCE_V1 = Source()                                   # (-60,0,-80), (5,2,0)

@@ -70,7 +70,9 @@ def _lambertian_kernel(seed_ref, scene_ref, src_ref, zeros_ref, status_ref,
       reflectance, world_half, exit_port_z, max_bounces, 0, 0]
     src_ref (SMEM, f32[8]): [x, y, z, dx, dy, dz, 0, 0]  (dir normalised)
     """
-    pltpu.prng_seed(seed_ref[0], pl.program_id(0))
+    # both key words must reach the PRNG: word 0 of jax.random.key(s) is 0
+    # for every s < 2^32, so seeding from it alone would collapse all seeds
+    pltpu.prng_seed(seed_ref[0], seed_ref[1], pl.program_id(0))
 
     radius = scene_ref[0]
     cos_cap = scene_ref[1]
@@ -105,7 +107,9 @@ def _lambertian_kernel(seed_ref, scene_ref, src_ref, zeros_ref, status_ref,
     def bounce(carry):
         (it, status, px, py, pz, dx, dy, dz, prevx, prevy, prevz,
          bounces) = carry
-        active = status == RUNNING
+        # `it < max_bounces` keeps the trailing partial INNER_ITERS block
+        # from overshooting the SetLimit bounce cap (same guard as trace.py)
+        active = (status == RUNNING) & (it < max_bounces)
 
         # advance to the shell surface: t = -b + sqrt(b^2 - c)
         b = px * dx + py * dy + pz * dz
@@ -231,7 +235,7 @@ def trace_rays_pallas(
         raise NotImplementedError("pallas kernel implements Lambertian walls")
     n_blocks = n_rays // BLOCK
 
-    seed = jax.random.key_data(key).astype(jnp.uint32).ravel()[:1]
+    seed = jax.random.key_data(key).astype(jnp.uint32).ravel()[:2]
     theta_max = jnp.deg2rad(jnp.asarray(scene.theta_max_deg, jnp.float32))
     scene_vec = jnp.stack([
         jnp.asarray(scene.inner_radius, jnp.float32),
@@ -304,7 +308,9 @@ def trace_rays_fast(
     (padding the batch up to a block multiple and truncating the result),
     XLA kernel otherwise."""
     use_pallas = (_supported(scene)
-                  and jax.devices()[0].platform == "tpu")
+                  and jax.devices()[0].platform == "tpu"
+                  and int(cfg.keep_history) == 0
+                  and cfg.dtype == jnp.float32)
     if not use_pallas:
         return trace_rays(key, scene, source, n_rays, cfg)
     padded = -(-n_rays // BLOCK) * BLOCK

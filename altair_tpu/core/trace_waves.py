@@ -133,7 +133,11 @@ def trace_rays_waves(
     # tail: finish stragglers with the exact while loop on the small buffer
     if it0 < max_iters:
         wkey = jax.random.fold_in(key, 10_000 + wave)
-        step = make_bounce_step(wkey, scene, m, cfg)
+        # cap the tail's bounce budget at the REMAINING iterations (the
+        # step's internal guard compares its local index against the scene
+        # cap, which restarts at 0 here)
+        step = make_bounce_step(
+            wkey, scene.with_(max_bounces=max_iters - it0), m, cfg)
 
         def cond(state):
             it, carry = state

@@ -136,6 +136,9 @@ def trace_rays_native(scene: SphereScene, source: Source, n_rays: int,
 
 def detector_grid_native(grid: DetectorGrid, exit_port_z: float = -100.0):
     lib = _load()
+    if lib is None:
+        raise RuntimeError(
+            "native library not built — run `make -C native`")
     P = grid.n_positions
     centers = np.empty((P, 3), np.float64)
     normals = np.empty((P, 3), np.float64)

@@ -24,7 +24,17 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..config import DetectorGrid, SphereScene, Source, TraceConfig
 from ..core.score import exit_angle_histogram, fluxmap_trace_once
 from ..core.trace import EXITED, TraceResult
-from ..core.trace_waves import trace_rays_auto as trace_rays
+from ..core.trace import trace_rays as _trace_plain
+from ..core.trace_waves import trace_rays_waves, waves_safe
+
+
+def _pick_tracer(scene, n_local, cfg, waves_threshold=262_144):
+    """Engine selection must happen on the CONCRETE scene (inside shard_map
+    the scene leaves are tracers and waves_safe would always bail)."""
+    if (n_local >= waves_threshold and waves_safe(scene)
+            and not cfg.keep_history):
+        return lambda k, sc, src, n, c: trace_rays_waves(k, sc, src, n, c)[0]
+    return _trace_plain
 
 RAY_AXIS = "rays"
 
@@ -80,6 +90,7 @@ def sharded_fluxmap(
     if n_rays % n_dev:
         raise ValueError(f"n_rays={n_rays} must divide over {n_dev} devices")
     n_local = n_rays // n_dev
+    tracer = _pick_tracer(scene, n_local, cfg)
 
     @partial(
         jax.shard_map,
@@ -90,7 +101,7 @@ def sharded_fluxmap(
     )
     def run(key, scene, src):
         k = _per_shard_key(key, RAY_AXIS)
-        res = trace_rays(k, scene, src, n_local, cfg)
+        res = tracer(k, scene, src, n_local, cfg)
         counts = fluxmap_trace_once(res, grid, scene.exit_port_z, pos_chunk)
         n_exit = jnp.sum(res.exited_port_mask(scene.exit_port_z),
                          dtype=jnp.int32)
@@ -117,6 +128,7 @@ def sharded_exit_histogram(
     if n_rays % n_dev:
         raise ValueError(f"n_rays={n_rays} must divide over {n_dev} devices")
     n_local = n_rays // n_dev
+    tracer = _pick_tracer(scene, n_local, cfg)
 
     @partial(
         jax.shard_map,
@@ -127,7 +139,7 @@ def sharded_exit_histogram(
     )
     def run(key, scene, src):
         k = _per_shard_key(key, RAY_AXIS)
-        res = trace_rays(k, scene, src, n_local, cfg)
+        res = tracer(k, scene, src, n_local, cfg)
         hist = exit_angle_histogram(res, n_bins,
                                     exit_port_z=scene.exit_port_z)
         n_exit = jnp.sum(res.exited_port_mask(scene.exit_port_z),
@@ -177,8 +189,8 @@ def sharded_param_sweep(
         k = _per_shard_key(key, RAY_AXIS)
 
         def one_scene(i, scene):
-            res = trace_rays(jax.random.fold_in(k, i), scene, src, n_local,
-                             cfg)
+            res = _trace_plain(jax.random.fold_in(k, i), scene, src, n_local,
+                               cfg)
             return jnp.sum(res.exited_port_mask(scene.exit_port_z),
                            dtype=jnp.int32)
 

@@ -26,7 +26,7 @@ import time
 import jax
 import numpy as np
 
-from ..config import DetectorGrid, SphereScene, Source, TraceConfig, validate
+from ..config import DetectorGrid, SphereScene, Source, TraceConfig, make_key, validate
 from ..core.score import fluxmap_retrace, fluxmap_trace_once
 from ..core.trace_waves import trace_rays_auto as trace_rays
 from ..io import (
@@ -88,7 +88,7 @@ def sweep_detector_trace_once(
     ``altair_tpu.parallel.make_mesh``) to shard the ray axis over chips."""
     validate(scene, source)
     t_setup0 = time.perf_counter()
-    key = jax.random.key(seed)
+    key = make_key(seed, cfg)
 
     if verbose:
         debug_stamp("Starting sweep setup")
@@ -170,7 +170,7 @@ def sweep_detector_retrace(
     the reference's manual resume contract, SURVEY.md §5.3/5.4)."""
     validate(scene, source)
     t_all0 = time.perf_counter()
-    key = jax.random.key(seed)
+    key = make_key(seed, cfg)
     P = grid.n_positions
     if P % pos_chunk:
         raise ValueError("pos_chunk must divide n_theta*n_phi")
@@ -201,6 +201,9 @@ def sweep_detector_retrace(
         from ..io import read_fluxmap
         theta_r, phi_r, frac_r, _ = read_fluxmap(resume_path)
         done_rows = len(theta_r) // grid.n_phi
+        # align to the chunk boundary: a partial chunk's rows are redone
+        # (re-emitting them would duplicate CSV rows otherwise)
+        done_rows -= done_rows % rows_per_chunk
         fm[:done_rows] = frac_r[:done_rows * grid.n_phi].reshape(
             done_rows, grid.n_phi)
         writer = FluxmapWriter(resume_path, _metadata(
@@ -278,6 +281,10 @@ def sweep_detector_twofold(
     """
     if grid.n_phi % 2:
         raise ValueError("twofold needs an even n_phi")
+    if abs((grid.phi_hi - grid.phi_lo) - 360.0) > 1e-9:
+        raise ValueError(
+            "twofold pairs detectors 180 deg apart, which maps onto the "
+            "j + n_phi/2 column only for a full 360-degree phi span")
     if grid.n_positions > 1000:
         import warnings
 
@@ -292,7 +299,7 @@ def sweep_detector_twofold(
     from ..core.geometry import Vec3, detector_position, line_hits_disk
 
     t0_all = time.perf_counter()
-    key = jax.random.key(seed)
+    key = make_key(seed, cfg)
     th = np.asarray(grid.theta_centers())
     ph = np.asarray(grid.phi_centers())
     half = grid.n_phi // 2
