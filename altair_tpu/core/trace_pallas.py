@@ -71,8 +71,9 @@ def _lambertian_kernel(seed_ref, scene_ref, src_ref, zeros_ref, status_ref,
     src_ref (SMEM, f32[8]): [x, y, z, dx, dy, dz, 0, 0]  (dir normalised)
     """
     # both key words must reach the PRNG: word 0 of jax.random.key(s) is 0
-    # for every s < 2^32, so seeding from it alone would collapse all seeds
-    pltpu.prng_seed(seed_ref[0], seed_ref[1], pl.program_id(0))
+    # for every s < 2^32, so seeding from it alone would collapse all seeds.
+    # Mosaic accepts at most 2 seed values — fold the words together.
+    pltpu.prng_seed(seed_ref[0] ^ seed_ref[1], pl.program_id(0))
 
     radius = scene_ref[0]
     cos_cap = scene_ref[1]
