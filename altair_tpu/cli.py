@@ -27,6 +27,10 @@ def _add_scene_args(p: argparse.ArgumentParser):
     p.add_argument("--reflectance", type=float, default=0.99)
     p.add_argument("--roughness", type=float, default=0.01)
     p.add_argument("--max-bounces", type=int, default=50000)
+    p.add_argument("--no-exact-rim", action="store_true",
+                   help="disable the shell-rim face physics (~2x faster "
+                        "tracing; exit fractions land at the top of the "
+                        "corpus ranges instead of their centres)")
     p.add_argument("--surface", default="lambertian",
                    choices=["lambertian", "specular", "mixed", "cosn"])
     p.add_argument("--src", type=float, nargs=3, default=[-60.0, 0.0, -75.0],
@@ -46,7 +50,7 @@ def _scene_source(args):
     scene = SphereScene(
         theta_max_deg=args.port_angle, reflectance=args.reflectance,
         roughness=args.roughness, max_bounces=args.max_bounces,
-        surface_model=model)
+        surface_model=model, exact_rim=not args.no_exact_rim)
     source = Source(x=args.src[0], y=args.src[1], z=args.src[2],
                     dir_x=args.dir[0], dir_y=args.dir[1], dir_z=args.dir[2])
     return scene, source

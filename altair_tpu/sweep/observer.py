@@ -159,7 +159,7 @@ def sweep_detector_retrace(
     cfg: TraceConfig = TraceConfig(),
     save_folder: str | None = "results",
     notify: bool = False,
-    pos_chunk: int = 90,
+    pos_chunk: int | None = None,
     verbose: bool = True,
     resume_path: str | None = None,
 ) -> SweepResult:
@@ -172,15 +172,20 @@ def sweep_detector_retrace(
     t_all0 = time.perf_counter()
     key = make_key(seed, cfg)
     P = grid.n_positions
-    if P % pos_chunk:
-        raise ValueError("pos_chunk must divide n_theta*n_phi")
+    if pos_chunk is None:
+        # auto: ~1 theta row per chunk, largest row count that divides
+        # n_theta (so chunks tile the grid exactly)
+        rows_per_chunk = 1
+        pos_chunk = grid.n_phi
+    else:
+        if P % pos_chunk:
+            raise ValueError("pos_chunk must divide n_theta*n_phi")
+        # Chunk along theta rows so each chunk is a contiguous sub-grid.
+        if pos_chunk % grid.n_phi:
+            raise ValueError("pos_chunk must be a multiple of n_phi "
+                             "(chunking is by theta rows)")
+        rows_per_chunk = pos_chunk // grid.n_phi
     n_chunks = P // pos_chunk
-
-    # Chunk along theta rows so each chunk is a contiguous sub-grid.
-    if pos_chunk % grid.n_phi:
-        raise ValueError("pos_chunk must be a multiple of n_phi "
-                         "(chunking is by theta rows)")
-    rows_per_chunk = pos_chunk // grid.n_phi
 
     # one compiled program serves every chunk: the sub-grid SHAPE is static,
     # the detector placement arrays are dynamic inputs
