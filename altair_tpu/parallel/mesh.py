@@ -28,9 +28,14 @@ from ..core.trace import trace_rays as _trace_plain
 from ..core.trace_waves import trace_rays_waves, waves_safe
 
 
-def _pick_tracer(scene, n_local, cfg, waves_threshold=262_144):
+WAVES_THRESHOLD = 262_144
+
+
+def _pick_tracer(scene, n_local, cfg, waves_threshold=None):
     """Engine selection must happen on the CONCRETE scene (inside shard_map
     the scene leaves are tracers and waves_safe would always bail)."""
+    if waves_threshold is None:
+        waves_threshold = WAVES_THRESHOLD
     if (n_local >= waves_threshold and waves_safe(scene)
             and not cfg.keep_history):
         return lambda k, sc, src, n, c: trace_rays_waves(k, sc, src, n, c)[0]

@@ -92,3 +92,20 @@ class TestParamSweep:
         fr = np.asarray(counts) / 16_000
         assert abs(fr[0] - 0.748) < 0.015
         assert abs(fr[1] - 0.425) < 0.015
+
+
+class TestShardedWaves:
+    def test_waves_engine_inside_shard_map(self, mesh, monkeypatch):
+        """The wave-compaction tracer must compile and run INSIDE shard_map
+        (nonzero/gather/scatter + psum composition) — regression for the
+        engine selection happening on the concrete scene at closure time."""
+        from altair_tpu.parallel import mesh as pm
+
+        monkeypatch.setattr(pm, "WAVES_THRESHOLD", 1024)
+        grid = DetectorGrid(n_theta=3, n_phi=2)
+        counts, n_exit = sharded_fluxmap(
+            mesh, jax.random.key(0), SCENE, SOURCE_OVERNIGHT, grid,
+            16_000, CFG)
+        frac = int(n_exit) / 16_000
+        assert 0.40 < frac < 0.45, frac
+        assert np.asarray(counts).sum() > 0
