@@ -91,15 +91,14 @@ def ideal_cosine_flux(theta, rho=0.95, f=0.3, phi_input=1.0):
 
 
 def port_area_fraction(port_angle_deg):
-    """Cap-area fraction of a port whose shell spans [0, port_angle]:
-    f = (1 - cos(180 - port_angle)) / 2 — the per-bounce escape probability
-    of a Lambertian sphere (uniform irradiance), used by the exit-fraction
-    oracle in tests."""
+    """Vectorised cap-area fraction (see config.port_escape_probability for
+    the scalar shared by the engine-side capacity/safety checks)."""
     return (1 - np.cos(np.deg2rad(180 - np.asarray(port_angle_deg)))) / 2
 
 
 def expected_exit_fraction(port_angle_deg, rho):
     """Closed-form exit fraction p/(p + (1-rho)) of the roulette random walk
-    — reproduces the corpus footers: 160->0.751, 164->0.659, 170->0.432."""
+    — reproduces the corpus footers: 160->0.751, 164->0.659, 170->0.432.
+    (Vectorised; the scalar engine-side twin lives in altair_tpu.config.)"""
     p = port_area_fraction(port_angle_deg)
     return p / (p + (1 - rho))

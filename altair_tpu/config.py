@@ -253,6 +253,24 @@ def validate(scene: SphereScene, source: Source) -> None:
         raise ValueError("reflectance must be a probability")
 
 
+def port_escape_probability(port_angle_deg) -> float:
+    """Cap-area fraction of a port whose shell spans [0, port_angle]:
+    p = (1 - cos(180 - port_angle)) / 2 — the per-bounce escape probability
+    of a Lambertian sphere (uniform irradiance).  Shared by the analysis
+    oracles, the compaction capacity bound and the wave-engine safety check.
+    """
+    return (1 - math.cos(math.radians(180 - float(port_angle_deg)))) / 2
+
+
+def expected_exit_fraction(port_angle_deg, reflectance) -> float:
+    """Closed-form exit fraction p/(p + 1 - rho) of the roulette random walk
+    (no-rim model — a slight overestimate once the shell rim is modelled,
+    which makes it a safe upper bound for capacity sizing)."""
+    p = port_escape_probability(port_angle_deg)
+    denom = p + (1 - float(reflectance))
+    return 1.0 if denom <= 0 else p / denom
+
+
 def make_key(seed: int, cfg: TraceConfig) -> "jax.Array":
     """Seed -> PRNG key honouring ``cfg.rng_impl`` (the sweep drivers route
     their seeds through this)."""

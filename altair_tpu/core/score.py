@@ -126,10 +126,9 @@ def exit_capacity(scene: SphereScene, n_rays: int, sigmas: float = 6.0,
     relative margin.  Requires concrete scene parameters."""
     import math
 
-    p_port = (1 - math.cos(math.radians(
-        180 - float(scene.theta_max_deg)))) / 2
-    denom = p_port + (1 - float(scene.reflectance))
-    p = 1.0 if denom <= 0 else p_port / denom
+    from ..config import expected_exit_fraction
+
+    p = expected_exit_fraction(scene.theta_max_deg, scene.reflectance)
     cap = p * n_rays * margin + sigmas * math.sqrt(
         max(p * (1 - p) * n_rays, 1.0))
     return min(n_rays, int(-(-cap // 8) * 8))

@@ -26,12 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import SphereScene, Source, TraceConfig
-from .geometry import (
-    Vec3,
-    in_port_cap,
-    ray_box_exit_t,
-    sphere_hit,
-)
+from .geometry import Vec3, ray_box_exit_t, sphere_hit
 from .sampling import scatter
 
 # Ray status codes (ARay state machine, fluxAtObserverOptimize.C:271-273,
@@ -221,12 +216,6 @@ def trace_rays(
     """
     dtype = cfg.dtype
     pos, direction = _source_rays(source, n_rays, dtype)
-
-    radius = jnp.asarray(scene.inner_radius, dtype)
-    theta_max = jnp.deg2rad(jnp.asarray(scene.theta_max_deg, dtype))
-    cos_cap = radius * jnp.cos(theta_max)
-    reflectance = jnp.asarray(scene.reflectance, dtype)
-    world_half = jnp.asarray(scene.world_half, dtype)
 
     status0 = jnp.zeros((n_rays,), jnp.int32)
     bounces0 = jnp.zeros((n_rays,), jnp.int32)

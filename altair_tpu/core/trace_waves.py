@@ -185,10 +185,10 @@ def waves_safe(scene: SphereScene, wave_iters: int = 256,
     if not all(isinstance(v, numbers.Number)
                for v in (scene.theta_max_deg, scene.reflectance)):
         return False
-    import math
+    from ..config import port_escape_probability
 
-    p_port = (1 - math.cos(math.radians(180 - float(scene.theta_max_deg)))) / 2
-    s = float(scene.reflectance) * (1 - p_port)
+    s = float(scene.reflectance) * (1 - port_escape_probability(
+        scene.theta_max_deg))
     return s ** wave_iters < 1 / (2 * shrink)
 
 

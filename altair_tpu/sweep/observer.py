@@ -110,7 +110,7 @@ def sweep_detector_trace_once(
             counts, overflow = fluxmap_trace_once_compact(
                 res, grid, cap, scene.exit_port_z)
             n_exit = res.exited_port_mask(scene.exit_port_z).sum()
-            return counts, n_exit + 0 * overflow, overflow
+            return counts, n_exit, overflow
 
     if verbose:
         debug_stamp("Tracing all rays once")
