@@ -91,9 +91,16 @@ def make_bounce_step(key: jax.Array, scene: SphereScene, n_rays: int,
     ~4.6% of escaping rays clip the rim at port 170 deg; modelling it moves
     the exit fractions from the top of the corpus ranges onto their centres
     (see docs/PARITY.md).
+
+    Cost: one shared cone solve serves both the interior clip check and the
+    gap propagation (per-lane origin select), and ONE scatter draw serves
+    whichever surface the lane hit (the normal is selected per lane before
+    sampling).  The single scatter is also the faithful ROBAST semantics:
+    the border condition attaches to the whole shell volume, so the rim
+    annulus face scatters by the same law as the spherical wall
+    (``fluxAtObserverOptimize.C:208-210`` sets ONE condition for the volume).
     """
     from .geometry import cone_crossing_t, cone_face_normal, sphere_crossing_t
-    from .sampling import cosine_hemisphere
 
     dtype = cfg.dtype
     radius = jnp.asarray(scene.inner_radius, dtype)
@@ -114,7 +121,7 @@ def make_bounce_step(key: jax.Array, scene: SphereScene, n_rays: int,
         active = (status == RUNNING) & (it < max_iters)
 
         k_it = jax.random.fold_in(key, it)
-        k_surv, k_scat, k_rim = jax.random.split(k_it, 3)
+        k_surv, k_scat = jax.random.split(k_it)
         survive = (
             jax.random.uniform(k_surv, (n_rays,), dtype) < reflectance
         )
@@ -123,12 +130,12 @@ def make_bounce_step(key: jax.Array, scene: SphereScene, n_rays: int,
         q = sphere_hit(pos, direction, radius)
         escaped = q.z < cos_cap  # in_port_cap inlined (q is on the sphere)
         normal = q.scale(-1.0 / radius)
-        new_dir = scatter(k_scat, scene.surface_model, direction, normal,
-                          scene)
         t_box = ray_box_exit_t(pos, direction, world_half)
         box_pt = pos + direction.scale(t_box)
 
         if not exact_rim:
+            new_dir = scatter(k_scat, scene.surface_model, direction, normal,
+                              scene)
             new_status = jnp.where(
                 escaped, EXITED, jnp.where(survive, RUNNING, ABSORBED)
             ).astype(jnp.int32)
@@ -144,32 +151,35 @@ def make_bounce_step(key: jax.Array, scene: SphereScene, n_rays: int,
         interior = active & ~in_gap
         gap = active & in_gap
 
-        # escaping interior flights: rim-cone clip check (from q outward)
-        s_rim_i = cone_crossing_t(q, direction, cos_tm, radius, r_out, INF)
-        rim_i = escaped & (s_rim_i < INF)
-        pc_i = q + direction.scale(s_rim_i)
+        # ONE cone solve serves both rim interactions: escaping interior
+        # flights clip-check from q, gap lanes propagate from pos
+        o_cone = Vec3.where(in_gap, pos, q)
+        s_rim = cone_crossing_t(o_cone, direction, cos_tm, radius, r_out, INF)
+        rim_i = escaped & (s_rim < INF)
+        rim_pt = o_cone + direction.scale(s_rim)
 
         # gap propagation: nearest of cone / inner sphere / outer sphere
-        s_cone = cone_crossing_t(pos, direction, cos_tm, radius, r_out, INF)
         s_in = sphere_crossing_t(pos, direction, radius, INF)
         s_outs = sphere_crossing_t(pos, direction, r_out, INF)
-        gap_cone = gap & (s_cone < s_in) & (s_cone < s_outs)
+        gap_cone = gap & (s_rim < s_in) & (s_rim < s_outs)
         gap_enter = gap & ~gap_cone & (s_in < s_outs)
         gap_exit = gap & ~gap_cone & ~gap_enter & (s_outs < INF)
         gap_stuck = gap & ~gap_cone & ~gap_enter & ~gap_exit
-        pc_g = pos + direction.scale(s_cone)
         enter_pt = pos + direction.scale(s_in)
         enter_pt = enter_pt.scale(radius * jax.lax.rsqrt(enter_pt.norm2()))
-
-        # one cosine draw about the rim-face normal serves whichever rim
-        # event (interior clip or gap cone hit) the lane took
-        rim_pt = Vec3.where(in_gap, pc_g, pc_i)
-        rim_dir = cosine_hemisphere(k_rim, cone_face_normal(rim_pt))
 
         rim_bounce = (interior & rim_i) | gap_cone
         exits = (interior & escaped & ~rim_i) | gap_exit
         wall = interior & ~escaped
         absorbed = ((rim_bounce | wall) & ~survive)
+
+        # ONE scatter draw serves whichever surface the lane hit: the normal
+        # is selected per lane (rim-face theta_hat vs inward sphere normal)
+        # before sampling — same border condition for every face of the
+        # shell volume, as in ROBAST.
+        scat_normal = Vec3.where(rim_bounce, cone_face_normal(rim_pt), normal)
+        new_dir = scatter(k_scat, scene.surface_model, direction, scat_normal,
+                          scene)
 
         new_status = jnp.where(
             exits, EXITED,
@@ -185,8 +195,7 @@ def make_bounce_step(key: jax.Array, scene: SphereScene, n_rays: int,
             Vec3.where(rim_bounce, rim_pt,
                        Vec3.where(gap_enter, enter_pt, q)))
         pos = Vec3.where(upd, new_pos, pos)
-        new_d = Vec3.where(rim_bounce, rim_dir, new_dir)
-        direction = Vec3.where(upd & (rim_bounce | wall) & survive, new_d,
+        direction = Vec3.where(upd & (rim_bounce | wall) & survive, new_dir,
                                direction)
         bounces = jnp.where(upd & (rim_bounce | wall), bounces + 1, bounces)
         in_gap = jnp.where(
@@ -196,6 +205,24 @@ def make_bounce_step(key: jax.Array, scene: SphereScene, n_rays: int,
         return pos, direction, prev, status, bounces, in_gap
 
     return step
+
+
+def _while_trace(step_fn, carry, max_iters: int, block: int):
+    """Run ``step_fn(it, carry) -> carry`` until ``max_iters`` or all lanes
+    dead (``carry[3]`` is the status vector).  A block of bounces runs
+    between alive-checks to amortise the while_loop condition reduction
+    (the one sync point in the kernel)."""
+
+    def cond(state):
+        it, c = state
+        return (it < max_iters) & jnp.any(c[3] == RUNNING)
+
+    def body(state):
+        it, c = state
+        c = jax.lax.fori_loop(0, block, lambda j, cc: step_fn(it + j, cc), c)
+        return it + block, c
+
+    return jax.lax.while_loop(cond, body, (0, carry))[1]
 
 
 def trace_rays(
@@ -251,28 +278,11 @@ def trace_rays(
         return pos, direction, prev, status, bounces, in_gap, (), ()
 
     block = max(1, min(int(cfg.block_iters), max_iters))
-
-    def cond(state):
-        it, carry = state
-        return (it < max_iters) & jnp.any(carry[3] == RUNNING)
-
-    def body(state):
-        it, carry = state
-        # A block of bounces between alive-checks amortises the while_loop
-        # condition reduction (the one sync point in the kernel).
-        def inner(j, c):
-            return bounce_once(it + j, c)
-
-        carry = jax.lax.fori_loop(0, block, inner, carry)
-        return it + block, carry
-
     prev0 = pos
     in_gap0 = jnp.zeros((n_rays,), bool)
-    init = (0, (pos, direction, prev0, status0, bounces0, in_gap0, hist0,
-                hlen0))
-    _, (pos, direction, prev, status, bounces, _, hist, hlen) = (
-        jax.lax.while_loop(cond, body, init)
-    )
+    init = (pos, direction, prev0, status0, bounces0, in_gap0, hist0, hlen0)
+    (pos, direction, prev, status, bounces, _, hist, hlen) = _while_trace(
+        bounce_once, init, max_iters, block)
 
     # Rays still running after the cap are suspended (the reference's
     # ray->Suspend() guard at fluxAtObserverOptimize.C:271-273).
@@ -292,6 +302,123 @@ def trace_rays(
 @partial(jax.jit, static_argnames=("n_rays", "cfg"))
 def trace_rays_jit(key, scene, source, n_rays, cfg=TraceConfig()):
     return trace_rays(key, scene, source, n_rays, cfg)
+
+
+def trace_rays_rim_deferred(
+    key: jax.Array,
+    scene: SphereScene,
+    source: Source,
+    n_rays: int,
+    cfg: TraceConfig = TraceConfig(),
+    capacity_shift: int = 4,
+    main_tracer=None,
+) -> tuple[TraceResult, jax.Array]:
+    """Exact-rim physics at (nearly) simple-mode cost.
+
+    The in-loop rim mode pays the cone solve + gap machinery on EVERY
+    lane-iteration although only ~2% of rays ever clip the rim (~4.6% of
+    escapers at port 170 deg, docs/PARITY.md).  Here rim physics runs once
+    per RAY instead of once per lane-iteration:
+
+    1. main trace with ``exact_rim=False`` (cheap kernel; the escape flight
+       survives as the cached final segment, so its cap-crossing point is
+       recoverable);
+    2. O(N) post-pass: recompute the cap crossing ``q = sphere_hit(seg_start,
+       dir)`` of exited lanes and clip-test the escape flight against the
+       rim cone (the TGeoSphere theta-boundary face,
+       ``fluxAtObserverOptimize.C:204``);
+    3. clipped lanes are compacted into an ``n_rays >> capacity_shift``
+       buffer; the first rim bounce (roulette + surface-model scatter about
+       the rim-face normal) is applied manually, then the full in-loop rim
+       kernel finishes the survivors — gap propagation, interior re-entry
+       chains and recursive rim clips included;
+    4. continuation results are scattered back over the clipped lanes.
+
+    Returns ``(TraceResult, n_overflow)``.  ``n_overflow`` counts clipped
+    rays beyond the buffer (left as optimistic EXITED); with the default
+    16x capacity vs the ~2-4% expectation it is zero for every reference
+    scene — same contract as the wave tracer's overflow.
+
+    The continuation's bounce budget restarts at ``scene.max_bounces``
+    (a clipped ray can therefore exceed the cap by up to one extra budget);
+    with the reference cap of 50,000 vs ~57 mean bounces this never binds.
+    Distribution-equivalent to in-loop rim mode, stream-different (fresh
+    keys for the continuation).  Requires ``cfg.keep_history == 0`` — the
+    visual-demo path records rim bounces in-loop via ``trace_rays``.
+    """
+    from .geometry import cone_crossing_t, cone_face_normal
+    from .sampling import scatter as scatter_fn
+
+    if cfg.keep_history:
+        raise ValueError("rim-deferred tracing has no history buffer; "
+                         "use trace_rays for the visual-demo path")
+    dtype = cfg.dtype
+    k_main, k_first, k_cont = jax.random.split(key, 3)
+    main = main_tracer if main_tracer is not None else trace_rays
+    res = main(k_main, scene.with_(exact_rim=False), source, n_rays, cfg)
+
+    radius = jnp.asarray(scene.inner_radius, dtype)
+    r_out = jnp.asarray(scene.outer_radius, dtype)
+    cos_tm = jnp.cos(jnp.deg2rad(jnp.asarray(scene.theta_max_deg, dtype)))
+    INF = 1e30
+
+    # clip-test every exited lane's escape flight against the rim cone
+    q = sphere_hit(res.seg_start, res.direction, radius)
+    s_rim = cone_crossing_t(q, res.direction, cos_tm, radius, r_out, INF)
+    clipped = (res.status == EXITED) & (s_rim < INF)
+    rim_pt = q + res.direction.scale(s_rim)
+
+    m = min(n_rays, max(256, n_rays >> capacity_shift))
+    n_overflow = jnp.maximum(jnp.sum(clipped, dtype=jnp.int32) - m, 0)
+    idx = jnp.nonzero(clipped, size=m, fill_value=n_rays)[0]
+    valid = idx < n_rays
+    safe = jnp.minimum(idx, n_rays - 1)
+
+    def g(a):
+        return a[safe]
+
+    def gv(v: Vec3) -> Vec3:
+        return Vec3(g(v.x), g(v.y), g(v.z))
+
+    c_pt = gv(rim_pt)
+    c_dir = gv(res.direction)
+    c_prev = gv(res.seg_start)
+    c_bounces = g(res.n_bounces) + valid.astype(jnp.int32)
+
+    # first rim bounce (the in-loop kernel's rim branch, applied once):
+    # roulette + the scene's surface model about the rim-face normal
+    k_surv, k_scat = jax.random.split(k_first)
+    survive = (jax.random.uniform(k_surv, (m,), dtype)
+               < jnp.asarray(scene.reflectance, dtype))
+    d_scat = scatter_fn(k_scat, scene.surface_model, c_dir,
+                        cone_face_normal(c_pt), scene)
+    status0 = jnp.where(valid & survive, RUNNING, ABSORBED).astype(jnp.int32)
+    c_dir = Vec3.where(survive, d_scat, c_dir)
+    in_gap0 = valid & survive
+
+    step = make_bounce_step(k_cont, scene, m, cfg)
+    max_iters = int(scene.max_bounces)
+    block = max(1, min(int(cfg.block_iters), max_iters))
+    carry = (c_pt, c_dir, c_prev, status0, c_bounces, in_gap0)
+    pos, direction, prev, status, bounces, _ = _while_trace(
+        step, carry, max_iters, block)
+    status = jnp.where(status == RUNNING, SUSPENDED, status)
+
+    # scatter the continuation's outcome back over the clipped lanes
+    sidx = jnp.where(valid, idx, n_rays)
+
+    def sv(out: Vec3, new: Vec3) -> Vec3:
+        return Vec3(out.x.at[sidx].set(new.x, mode="drop"),
+                    out.y.at[sidx].set(new.y, mode="drop"),
+                    out.z.at[sidx].set(new.z, mode="drop"))
+
+    return TraceResult(
+        status=res.status.at[sidx].set(status, mode="drop"),
+        last_point=sv(res.last_point, pos),
+        seg_start=sv(res.seg_start, prev),
+        direction=sv(res.direction, direction),
+        n_bounces=res.n_bounces.at[sidx].set(bounces, mode="drop"),
+    ), n_overflow
 
 
 def exit_count(result: TraceResult, exit_port_z=-100.0) -> jax.Array:

@@ -61,19 +61,60 @@ def _uniform(shape):
     return pltpu.bitcast(bits >> 8, jnp.int32).astype(jnp.float32) * _INV24
 
 
+def _fmix32(x):
+    """murmur3's 32-bit finaliser (avalanching bijection on uint32)."""
+    x = x ^ (x >> 16)
+    x = x * jnp.uint32(0x85EBCA6B)
+    x = x ^ (x >> 13)
+    x = x * jnp.uint32(0xC2B2AE35)
+    x = x ^ (x >> 16)
+    return x
+
+
+def _sw_uniform(lane_h, ctr):
+    """[0,1) f32 uniforms from a stateless counter-based hash.
+
+    The TPU hardware PRNG (``pltpu.prng_random_bits``) is unavailable under
+    the Pallas TPU interpreter (draws come back all-zero in this JAX
+    version), so the interpret/CPU test path — and, optionally, a
+    deterministic compiled path — draws from ``fmix32(lane_hash + ctr *
+    golden)`` instead: unique per (lane, draw counter), avalanched, and
+    expressible in plain vector int ops that lower on every backend.
+    """
+    h = _fmix32(lane_h + ctr * jnp.uint32(0x9E3779B9))
+    return pltpu.bitcast(h >> jnp.uint32(8), jnp.int32).astype(
+        jnp.float32) * _INV24
+
+
 def _lambertian_kernel(seed_ref, scene_ref, src_ref, zeros_ref, status_ref,
                        lastx_ref, lasty_ref, lastz_ref, segx_ref, segy_ref,
-                       segz_ref, dirx_ref, diry_ref, dirz_ref, bounces_ref):
+                       segz_ref, dirx_ref, diry_ref, dirz_ref, bounces_ref,
+                       *, hw_prng: bool = True):
     """One block of rays, full bounce loop, Lambertian walls.
 
     scene_ref (SMEM, f32[8]): [inner_radius, cos_cap (= r*cos(theta_max)),
       reflectance, world_half, exit_port_z, max_bounces, 0, 0]
     src_ref (SMEM, f32[8]): [x, y, z, dx, dy, dz, 0, 0]  (dir normalised)
+
+    ``hw_prng``: draw from the on-chip PRNG (production TPU path) or from
+    the counter-based software hash (interpret-mode testing; also runs
+    compiled).  Streams differ; physics is identical.
     """
     # both key words must reach the PRNG: word 0 of jax.random.key(s) is 0
     # for every s < 2^32, so seeding from it alone would collapse all seeds.
     # Mosaic accepts at most 2 seed values — fold the words together.
-    pltpu.prng_seed(seed_ref[0] ^ seed_ref[1], pl.program_id(0))
+    if hw_prng:
+        pltpu.prng_seed(seed_ref[0] ^ seed_ref[1], pl.program_id(0))
+        lane_h = None
+    else:
+        seed32 = jax.lax.bitcast_convert_type(seed_ref[0] ^ seed_ref[1],
+                                              jnp.uint32)
+        lane = (jax.lax.broadcasted_iota(jnp.uint32, (SUB, 128), 0)
+                * jnp.uint32(128)
+                + jax.lax.broadcasted_iota(jnp.uint32, (SUB, 128), 1)
+                + pl.program_id(0).astype(jnp.uint32)
+                * jnp.uint32(BLOCK))
+        lane_h = _fmix32(lane ^ seed32)
 
     radius = scene_ref[0]
     cos_cap = scene_ref[1]
@@ -125,15 +166,21 @@ def _lambertian_kernel(seed_ref, scene_ref, src_ref, zeros_ref, status_ref,
 
         escaped = qz < cos_cap
 
-        u = _uniform(shape)
+        if hw_prng:
+            u = _uniform(shape)
+            u1 = _uniform(shape)
+            u2 = _uniform(shape)
+        else:
+            c = it.astype(jnp.uint32) * jnp.uint32(3)
+            u = _sw_uniform(lane_h, c)
+            u1 = _sw_uniform(lane_h, c + jnp.uint32(1))
+            u2 = _sw_uniform(lane_h, c + jnp.uint32(2))
         survive = u < reflectance
 
         # cosine-weighted hemisphere about the inward normal n = -q/r
         nx = -qx * (1.0 / radius)
         ny = -qy * (1.0 / radius)
         nz = -qz * (1.0 / radius)
-        u1 = _uniform(shape)
-        u2 = _uniform(shape)
         ct = jnp.sqrt(u1)
         st = jnp.sqrt(jnp.maximum(1.0 - u1, 0.0))
         ph = 6.2831853071795864 * u2
@@ -208,10 +255,9 @@ def _lambertian_kernel(seed_ref, scene_ref, src_ref, zeros_ref, status_ref,
     bounces_ref[:] = bounces
 
 
-def _supported(scene: SphereScene) -> bool:
+def _model_supported(scene: SphereScene) -> bool:
     return (not callable(scene.surface_model)
-            and SurfaceModel(scene.surface_model) == SurfaceModel.LAMBERTIAN
-            and not scene.exact_rim)  # rim/gap region not implemented here
+            and SurfaceModel(scene.surface_model) == SurfaceModel.LAMBERTIAN)
 
 
 def trace_rays_pallas(
@@ -221,19 +267,32 @@ def trace_rays_pallas(
     n_rays: int,
     cfg: TraceConfig = TraceConfig(),
     interpret: bool = False,
+    hw_prng: bool = True,
 ) -> TraceResult:
-    """Pallas fast path.  ``n_rays`` must be a multiple of BLOCK (16384);
-    use ``trace_rays_fast`` for automatic padding and model dispatch.
+    """Pallas fast path (simple-mode kernel).  ``n_rays`` must be a multiple
+    of BLOCK (16384); use ``trace_rays_fast`` for automatic padding, model
+    dispatch and exact-rim composition (rim physics is applied as the
+    deferred post-pass of ``trace_rays_rim_deferred``, so the kernel itself
+    never needs the cone/gap machinery).
 
-    RNG note: uses the TPU hardware PRNG seeded from ``key`` — streams
-    differ from the XLA kernel's threefry streams (statistically equivalent;
-    bit-parity between backends is impossible anyway, SURVEY.md §7 'hard
-    parts').
+    RNG note: ``hw_prng=True`` uses the TPU hardware PRNG seeded from
+    ``key``; ``False`` uses the counter-based software hash (required under
+    ``interpret`` — the interpreter's hardware-PRNG stub returns zeros).
+    Streams differ from the XLA kernel's threefry streams either way
+    (statistically equivalent; bit-parity between backends is impossible
+    anyway, SURVEY.md §7 'hard parts').
     """
     if n_rays % BLOCK:
         raise ValueError(f"n_rays must be a multiple of {BLOCK}")
-    if not _supported(scene):
+    if not _model_supported(scene):
         raise NotImplementedError("pallas kernel implements Lambertian walls")
+    if scene.exact_rim:
+        raise NotImplementedError(
+            "the raw kernel traces simple-mode physics; exact-rim scenes go "
+            "through trace_rays_fast (deferred rim post-pass)")
+    if interpret and hw_prng:
+        raise ValueError("the Pallas interpreter has no hardware PRNG — "
+                         "pass hw_prng=False")
     n_blocks = n_rays // BLOCK
 
     seed = jax.random.key_data(key).astype(jnp.uint32).ravel()[:2]
@@ -276,8 +335,11 @@ def trace_rays_pallas(
         out_specs=[block_spec] * 11,
     )
 
+    if interpret is True:
+        # plain interpret lacks TPU primitives; use the TPU interpreter
+        interpret = pltpu.InterpretParams()
     outs = pl.pallas_call(
-        _lambertian_kernel,
+        partial(_lambertian_kernel, hw_prng=hw_prng),
         out_shape=[out_i32] + [out_f32] * 9 + [out_i32],
         grid_spec=grid_spec,
         interpret=interpret,
@@ -298,24 +360,12 @@ def trace_rays_pallas(
     )
 
 
-def trace_rays_fast(
-    key: jax.Array,
-    scene: SphereScene,
-    source: Source,
-    n_rays: int,
-    cfg: TraceConfig = TraceConfig(),
-) -> TraceResult:
-    """Dispatch: Pallas kernel for the Lambertian production scene on TPU
-    (padding the batch up to a block multiple and truncating the result),
-    XLA kernel otherwise."""
-    use_pallas = (_supported(scene)
-                  and jax.devices()[0].platform == "tpu"
-                  and int(cfg.keep_history) == 0
-                  and cfg.dtype == jnp.float32)
-    if not use_pallas:
-        return trace_rays(key, scene, source, n_rays, cfg)
+def _pallas_padded(key, scene, source, n_rays, cfg,
+                   interpret=False, hw_prng=True) -> TraceResult:
+    """Pad the batch up to a BLOCK multiple, trace, truncate."""
     padded = -(-n_rays // BLOCK) * BLOCK
-    res = trace_rays_pallas(key, scene, source, padded, cfg)
+    res = trace_rays_pallas(key, scene, source, padded, cfg,
+                            interpret=interpret, hw_prng=hw_prng)
     if padded == n_rays:
         return res
     sl = lambda a: a[:n_rays]
@@ -329,3 +379,36 @@ def trace_rays_fast(
                        sl(res.direction.z)),
         n_bounces=sl(res.n_bounces),
     )
+
+
+def trace_rays_fast(
+    key: jax.Array,
+    scene: SphereScene,
+    source: Source,
+    n_rays: int,
+    cfg: TraceConfig = TraceConfig(),
+    interpret: bool = False,
+    hw_prng: bool = True,
+) -> TraceResult:
+    """Dispatch: Pallas kernel for the Lambertian production scene on TPU
+    (padding the batch up to a block multiple and truncating the result),
+    XLA kernel otherwise.  Exact-rim scenes compose the Pallas main trace
+    with the deferred rim post-pass — full rim physics without any in-kernel
+    cone/gap support."""
+    use_pallas = (_model_supported(scene)
+                  and (interpret or jax.devices()[0].platform == "tpu")
+                  and int(cfg.keep_history) == 0
+                  and cfg.dtype == jnp.float32)
+    if not use_pallas:
+        return trace_rays(key, scene, source, n_rays, cfg)
+    if scene.exact_rim:
+        from .trace import trace_rays_rim_deferred
+
+        def main(k, sc, so, n, c):
+            return _pallas_padded(k, sc, so, n, c, interpret, hw_prng)
+
+        res, _ = trace_rays_rim_deferred(key, scene, source, n_rays, cfg,
+                                         main_tracer=main)
+        return res
+    return _pallas_padded(key, scene, source, n_rays, cfg, interpret,
+                          hw_prng)

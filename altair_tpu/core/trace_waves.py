@@ -200,13 +200,28 @@ def trace_rays_auto(
     cfg: TraceConfig = TraceConfig(),
     waves_threshold: int = 262_144,
 ) -> TraceResult:
-    """Engine dispatch: the wave-compaction tracer for large batches where
-    its capacity margin is provably safe (2-3x faster at >=1M rays on v5e),
-    the plain while-loop kernel otherwise.  Same TraceResult contract."""
-    from .trace import trace_rays
+    """Engine dispatch. Composable fast paths, each with a provably-safe
+    guard, falling back to the plain while-loop kernel:
 
-    if (n_rays >= waves_threshold and waves_safe(scene)
-            and not cfg.keep_history):
-        res, _ = trace_rays_waves(key, scene, source, n_rays, cfg)
+    * exact-rim scenes route through the rim-DEFERRED tracer (rim physics
+      once per ray instead of once per lane-iteration; ~simple-mode cost);
+    * large batches run the wave-compaction tracer (2-3x at >=1M rays on
+      v5e) — as the rim-deferred main phase when both apply.
+
+    Same TraceResult contract as ``trace_rays``."""
+    from .trace import trace_rays, trace_rays_rim_deferred
+
+    if cfg.keep_history:
+        return trace_rays(key, scene, source, n_rays, cfg)
+    use_waves = n_rays >= waves_threshold and waves_safe(scene)
+    if scene.exact_rim:
+        main = None
+        if use_waves:
+            def main(k, sc, so, n, c):
+                return trace_rays_waves(k, sc, so, n, c)[0]
+        res, _ = trace_rays_rim_deferred(key, scene, source, n_rays, cfg,
+                                         main_tracer=main)
         return res
+    if use_waves:
+        return trace_rays_waves(key, scene, source, n_rays, cfg)[0]
     return trace_rays(key, scene, source, n_rays, cfg)

@@ -7,4 +7,7 @@ from .mesh import (  # noqa: F401
     sharded_exit_histogram,
     sharded_fluxmap,
     sharded_param_sweep,
+    sharded_retrace,
+    sharded_score_traced,
+    sharded_trace,
 )

@@ -22,8 +22,8 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import DetectorGrid, SphereScene, Source, TraceConfig
-from ..core.score import exit_angle_histogram, fluxmap_trace_once
-from ..core.trace import EXITED, TraceResult
+from ..core.score import exit_angle_histogram, fluxmap_retrace, fluxmap_trace_once
+from ..core.trace import EXITED, TraceResult, trace_rays_rim_deferred
 from ..core.trace import trace_rays as _trace_plain
 from ..core.trace_waves import trace_rays_waves, waves_safe
 
@@ -33,13 +33,27 @@ WAVES_THRESHOLD = 262_144
 
 def _pick_tracer(scene, n_local, cfg, waves_threshold=None):
     """Engine selection must happen on the CONCRETE scene (inside shard_map
-    the scene leaves are tracers and waves_safe would always bail)."""
+    the scene leaves are tracers and waves_safe would always bail).  Same
+    dispatch as ``trace_rays_auto``: rim-deferred for exact-rim scenes,
+    wave compaction for large safe batches, composed when both apply."""
     if waves_threshold is None:
         waves_threshold = WAVES_THRESHOLD
-    if (n_local >= waves_threshold and waves_safe(scene)
-            and not cfg.keep_history):
-        return lambda k, sc, src, n, c: trace_rays_waves(k, sc, src, n, c)[0]
-    return _trace_plain
+    if cfg.keep_history:
+        return _trace_plain
+    use_waves = n_local >= waves_threshold and waves_safe(scene)
+
+    def wave(k, sc, src, n, c):
+        return trace_rays_waves(k, sc, src, n, c)[0]
+
+    if scene.exact_rim:
+        main = wave if use_waves else None
+
+        def rim(k, sc, src, n, c):
+            return trace_rays_rim_deferred(k, sc, src, n, c,
+                                           main_tracer=main)[0]
+
+        return rim
+    return wave if use_waves else _trace_plain
 
 RAY_AXIS = "rays"
 
@@ -160,6 +174,80 @@ def scene_spec(scene: SphereScene):
     return jax.tree.map(lambda _: P(), scene)
 
 
+def _result_spec():
+    """Ray-axis-sharded PartitionSpec pytree for a history-free
+    TraceResult."""
+    from ..core.geometry import Vec3
+
+    v = Vec3(P(RAY_AXIS), P(RAY_AXIS), P(RAY_AXIS))
+    return TraceResult(P(RAY_AXIS), v, v, v, P(RAY_AXIS), None, None)
+
+
+def sharded_trace(
+    mesh: Mesh,
+    key: jax.Array,
+    scene: SphereScene,
+    source: Source,
+    n_rays: int,
+    cfg: TraceConfig = TraceConfig(),
+) -> TraceResult:
+    """Trace ``n_rays`` split evenly over the mesh; returns a global
+    ``TraceResult`` whose arrays are ray-axis-sharded across the devices
+    (they stay device-resident for a following ``sharded_score_traced``).
+
+    The trace/score split mirrors the reference's two timed phases
+    (``fluxAtObserverFast.C:1144-1254``), letting the sweep driver report
+    both honestly."""
+    if cfg.keep_history:
+        raise ValueError("history tracing is a single-device debug path")
+    n_dev = mesh.devices.size
+    if n_rays % n_dev:
+        raise ValueError(f"n_rays={n_rays} must divide over {n_dev} devices")
+    n_local = n_rays // n_dev
+    tracer = _pick_tracer(scene, n_local, cfg)
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), scene_spec(scene), P()),
+        out_specs=_result_spec(),
+        check_vma=False,
+    )
+    def run(key, scene, src):
+        return tracer(_per_shard_key(key, RAY_AXIS), scene, src, n_local,
+                      cfg)
+
+    return run(key, scene, source)
+
+
+def sharded_score_traced(
+    mesh: Mesh,
+    result: TraceResult,
+    scene: SphereScene,
+    grid: DetectorGrid,
+    pos_chunk: int = 1080,
+):
+    """Score an already-traced, ray-sharded batch (from ``sharded_trace``)
+    against the detector grid: per-chip partial hit maps, one ``psum``.
+    Returns (counts [n_theta, n_phi] int32, n_exited)."""
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(_result_spec(), scene_spec(scene)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    def run(res, scene):
+        counts = fluxmap_trace_once(res, grid, scene.exit_port_z, pos_chunk)
+        n_exit = jnp.sum(res.exited_port_mask(scene.exit_port_z),
+                         dtype=jnp.int32)
+        return (jax.lax.psum(counts, RAY_AXIS),
+                jax.lax.psum(n_exit, RAY_AXIS))
+
+    return run(result, scene)
+
+
 def sharded_param_sweep(
     mesh: Mesh,
     key: jax.Array,
@@ -167,10 +255,17 @@ def sharded_param_sweep(
     source: Source,
     n_rays_per_scene: int,
     cfg: TraceConfig = TraceConfig(),
+    grid: DetectorGrid | None = None,
+    pos_chunk: int = 1080,
 ):
     """Scene-parameter sweep (the ``sweepSeries`` axis, SURVEY.md §2.3.5):
-    vmap over a batch of scenes (port angle / roughness / reflectance ...)
-    with the ray axis sharded inside.  Returns per-scene exit counts.
+    lax.map over a batch of scenes (port angle / roughness / reflectance
+    ...) with the ray axis sharded inside — the multi-chip equivalent of
+    ``run_series_vmapped``.
+
+    Returns per-scene exit counts ``[S]``; pass ``grid`` to also get the
+    per-scene flux maps: ``(fluxmaps [S, n_theta, n_phi] counts, exits
+    [S])``, psum-merged over the mesh exactly like ``sharded_fluxmap``.
 
     The reference ran these as sequential overnight for-loops
     (``fluxAtObserverOptimize.C:892-921``); here the parameter axis is just
@@ -180,6 +275,14 @@ def sharded_param_sweep(
     if n_rays_per_scene % n_dev:
         raise ValueError("n_rays_per_scene must divide over devices")
     n_local = n_rays_per_scene // n_dev
+    exact_rim = bool(getattr(scenes, "exact_rim", False))
+
+    def tracer(k, sc, src, n, c):
+        # batched scenes are traced values -> static engine guards are
+        # unavailable; dispatch on the static exact_rim flag only
+        if exact_rim:
+            return trace_rays_rim_deferred(k, sc, src, n, c)[0]
+        return _trace_plain(k, sc, src, n, c)
 
     scenes_spec = jax.tree.map(lambda _: P(), scenes)
 
@@ -187,25 +290,70 @@ def sharded_param_sweep(
         jax.shard_map,
         mesh=mesh,
         in_specs=(P(), scenes_spec, P()),
-        out_specs=P(),
+        out_specs=P() if grid is None else (P(), P()),
         check_vma=False,
     )
     def run(key, scenes, src):
         k = _per_shard_key(key, RAY_AXIS)
 
         def one_scene(i, scene):
-            res = _trace_plain(jax.random.fold_in(k, i), scene, src, n_local,
-                               cfg)
-            return jnp.sum(res.exited_port_mask(scene.exit_port_z),
-                           dtype=jnp.int32)
+            res = tracer(jax.random.fold_in(k, i), scene, src, n_local, cfg)
+            n_exit = jnp.sum(res.exited_port_mask(scene.exit_port_z),
+                             dtype=jnp.int32)
+            if grid is None:
+                return n_exit
+            counts = fluxmap_trace_once(res, grid, scene.exit_port_z,
+                                        pos_chunk)
+            return counts, n_exit
 
         n_scenes = jax.tree.leaves(scenes)[0].shape[0]
-        counts = jax.lax.map(
+        out = jax.lax.map(
             lambda args: one_scene(args[0], args[1]),
             (jnp.arange(n_scenes), scenes))
-        return jax.lax.psum(counts, RAY_AXIS)
+        return jax.tree.map(lambda x: jax.lax.psum(x, RAY_AXIS), out)
 
     return run(key, scenes, source)
+
+
+def sharded_retrace(
+    mesh: Mesh,
+    key: jax.Array,
+    scene: SphereScene,
+    source: Source,
+    grid: DetectorGrid,
+    n_rays_per_pos: int,
+    cfg: TraceConfig = TraceConfig(),
+    pos_chunk: int = 8,
+):
+    """Multi-chip honest retrace sweep (``sweepDetector``,
+    ``fluxAtObserverOptimize.C:433-702``): each chip traces
+    ``n_rays_per_pos / n_devices`` fresh rays for every detector position
+    and scores them; partial hit-count maps merge with one ``psum``.
+    Statistically identical to the single-chip ``fluxmap_retrace`` (each
+    position's rays are independent across chips, so counts just add).
+
+    Returns ``[n_theta, n_phi]`` hit counts out of ``n_rays_per_pos`` rays
+    per position.
+    """
+    n_dev = mesh.devices.size
+    if n_rays_per_pos % n_dev:
+        raise ValueError("n_rays_per_pos must divide over devices")
+    n_local = n_rays_per_pos // n_dev
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), scene_spec(scene), P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+    def run(key, scene, src):
+        k = _per_shard_key(key, RAY_AXIS)
+        counts = fluxmap_retrace(k, scene, src, grid, n_local, cfg,
+                                 pos_chunk=pos_chunk)
+        return jax.lax.psum(counts, RAY_AXIS)
+
+    return run(key, scene, source)
 
 
 def replicate(x, mesh: Mesh):

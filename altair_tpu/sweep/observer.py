@@ -85,7 +85,13 @@ def sweep_detector_trace_once(
     verbose: bool = True,
 ) -> SweepResult:
     """Trace once, score the whole grid.  Pass ``mesh`` (from
-    ``altair_tpu.parallel.make_mesh``) to shard the ray axis over chips."""
+    ``altair_tpu.parallel.make_mesh``) to shard the ray axis over chips.
+
+    Tracing and scoring run as two device calls so the footer reports both
+    phases honestly, like the reference's TStopwatch pair
+    (``fluxAtObserverFast.C:1374-1382``) — the phase boundary costs one
+    extra dispatch, negligible against either phase.
+    """
     validate(scene, source)
     t_setup0 = time.perf_counter()
     key = make_key(seed, cfg)
@@ -94,19 +100,25 @@ def sweep_detector_trace_once(
         debug_stamp("Starting sweep setup")
 
     if mesh is not None:
-        from ..parallel import sharded_fluxmap
+        from ..parallel import sharded_score_traced, sharded_trace
 
-        def run(key):
-            return sharded_fluxmap(mesh, key, scene, source, grid, n_rays,
-                                   cfg)
+        def run_trace(key):
+            return sharded_trace(mesh, key, scene, source, n_rays, cfg)
+
+        def run_score(res):
+            counts, n_exit = sharded_score_traced(mesh, res, scene, grid)
+            return counts, n_exit, jax.numpy.zeros((), jax.numpy.int32)
     else:
         from ..core.score import exit_capacity, fluxmap_trace_once_compact
 
         cap = exit_capacity(scene, n_rays)
 
         @jax.jit
-        def run(key):
-            res = trace_rays(key, scene, source, n_rays, cfg)
+        def run_trace(key):
+            return trace_rays(key, scene, source, n_rays, cfg)
+
+        @jax.jit
+        def run_score(res):
             counts, overflow = fluxmap_trace_once_compact(
                 res, grid, cap, scene.exit_port_z)
             n_exit = res.exited_port_mask(scene.exit_port_z).sum()
@@ -115,15 +127,20 @@ def sweep_detector_trace_once(
     if verbose:
         debug_stamp("Tracing all rays once")
     t0 = time.perf_counter()
-    out = jax.block_until_ready(run(key))
-    counts, n_exit = out[0], out[1]
-    if len(out) > 2 and int(out[2]):
-        raise RuntimeError(
-            f"exit-compaction overflow ({int(out[2])} rays unscored) — "
-            "statistically impossible at the 6-sigma capacity; investigate")
-    t_trace = time.perf_counter() - t0  # fused trace+score on device
+    res = jax.block_until_ready(run_trace(key))
+    t_trace = time.perf_counter() - t0
     if verbose:
-        debug_stamp(f"Ray tracing + scoring completed in {t_trace:.4f} s")
+        debug_stamp(f"Ray tracing completed in {t_trace:.4f} s")
+
+    t1 = time.perf_counter()
+    counts, n_exit, overflow = jax.block_until_ready(run_score(res))
+    t_score = time.perf_counter() - t1
+    if int(overflow):
+        raise RuntimeError(
+            f"exit-compaction overflow ({int(overflow)} rays unscored) — "
+            "statistically impossible at the 6-sigma capacity; investigate")
+    if verbose:
+        debug_stamp(f"Detector sweep completed in {t_score:.4f} s")
         print(f"Total rays exiting port: {int(n_exit)} out of {n_rays}")
 
     fm = np.asarray(counts, dtype=np.float64) / n_rays
@@ -139,14 +156,15 @@ def sweep_detector_trace_once(
         with FluxmapWriter(os.path.join(save_folder, fname), meta) as w:
             w.write_map(np.asarray(grid.theta_centers()),
                         np.asarray(grid.phi_centers()), fm)
-            w.write_footer(total, ray_time_s=t_trace, sweep_time_s=0.0,
+            w.write_footer(total, ray_time_s=t_trace, sweep_time_s=t_score,
                            exited=int(n_exit), n_rays=n_rays)
             path = w.path
         if verbose:
             print(f"\nFlux map data saved to '{path}'")
     if notify:
         notify_bell()
-    return SweepResult(path, fm, int(n_exit), n_rays, t_trace, 0.0, total)
+    return SweepResult(path, fm, int(n_exit), n_rays, t_trace, t_score,
+                       total)
 
 
 def sweep_detector_retrace(

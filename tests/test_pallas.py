@@ -1,0 +1,151 @@
+"""Pallas TPU bounce kernel, tested on CPU via the Pallas TPU interpreter.
+
+The hardware-PRNG stub of the interpreter returns zeros in this JAX
+version, so these tests run the kernel with its counter-based software
+RNG (``hw_prng=False``) — identical kernel code path otherwise, so the
+geometry/physics of the Mosaic kernel is what's under test.  The compiled
+hardware path is exercised by benchmarks/run_all.py on the real chip.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from altair_tpu import SCENE_OPTIMIZE, SOURCE_OVERNIGHT, TraceConfig
+from altair_tpu.core.trace import exit_count, trace_rays
+from altair_tpu.core.trace_pallas import (
+    BLOCK,
+    _fmix32,
+    _sw_uniform,
+    trace_rays_fast,
+    trace_rays_pallas,
+)
+
+# cap 64 keeps the interpreter fast; both engines truncate identically so
+# the statistics stay comparable
+SCENE = SCENE_OPTIMIZE.with_(max_bounces=64, exact_rim=False)
+CFG = TraceConfig()
+
+
+@pytest.fixture(scope="module")
+def pallas_result():
+    return trace_rays_pallas(jax.random.key(0), SCENE, SOURCE_OVERNIGHT,
+                             BLOCK, CFG, interpret=True, hw_prng=False)
+
+
+@pytest.fixture(scope="module")
+def xla_result():
+    return trace_rays(jax.random.key(1), SCENE, SOURCE_OVERNIGHT, BLOCK, CFG)
+
+
+class TestPallasPhysics:
+    def test_exit_fraction_matches_xla(self, pallas_result, xla_result):
+        f_p = int(exit_count(pallas_result)) / BLOCK
+        f_x = int(exit_count(xla_result)) / BLOCK
+        sigma = np.sqrt(f_x * (1 - f_x) / BLOCK) * np.sqrt(2)
+        assert abs(f_p - f_x) < 4 * sigma, (f_p, f_x)
+
+    def test_bounce_distribution_matches_xla(self, pallas_result, xla_result):
+        b_p = np.asarray(pallas_result.n_bounces, np.float64)
+        b_x = np.asarray(xla_result.n_bounces, np.float64)
+        se = np.sqrt(b_x.var() / BLOCK) * np.sqrt(2)
+        assert abs(b_p.mean() - b_x.mean()) < 4 * se, (b_p.mean(), b_x.mean())
+
+    def test_exit_points_beyond_port(self, pallas_result):
+        st = np.asarray(pallas_result.status)
+        z = np.asarray(pallas_result.last_point.z)
+        assert (z[st == 1] < -100.0).all()  # every exit passed the port plane
+
+    def test_exit_angle_profile_matches_xla(self, pallas_result, xla_result):
+        """Mean exit-direction cosine about the port axis must agree with
+        the XLA kernel (≈2/3 up to the finite-port correction — the
+        distributionSphereDetectorSweep.C observable)."""
+
+        def mean_mu(res):
+            mask = np.asarray(res.exited_port_mask())
+            return (float((-np.asarray(res.direction.z)[mask]).mean()),
+                    int(mask.sum()))
+
+        mu_p, n_p = mean_mu(pallas_result)
+        mu_x, n_x = mean_mu(xla_result)
+        se = np.sqrt(1 / 18 / min(n_p, n_x)) * np.sqrt(2)  # var(mu) = 1/18
+        assert abs(mu_p - mu_x) < 4 * se, (mu_p, mu_x)
+        assert abs(mu_p - 2.0 / 3.0) < 0.05  # ballpark of the ideal law
+
+    def test_absorbed_on_shell(self, pallas_result):
+        st = np.asarray(pallas_result.status)
+        p = np.asarray(pallas_result.last_point.stack())[st == 2]
+        r = np.linalg.norm(p, axis=1)
+        np.testing.assert_allclose(r, 100.1, atol=1e-2)
+
+
+class TestPallasRimComposition:
+    def test_exact_rim_via_deferred_postpass(self):
+        """trace_rays_fast on an exact-rim scene = Pallas main trace + the
+        deferred rim continuation; must agree with the XLA rim kernel."""
+        scene = SCENE.with_(exact_rim=True)
+        res = trace_rays_fast(jax.random.key(2), scene, SOURCE_OVERNIGHT,
+                              BLOCK, CFG, interpret=True, hw_prng=False)
+        ref = trace_rays(jax.random.key(3), scene, SOURCE_OVERNIGHT, BLOCK,
+                         CFG)
+        f_p = int(exit_count(res)) / BLOCK
+        f_x = int(exit_count(ref)) / BLOCK
+        sigma = np.sqrt(f_x * (1 - f_x) / BLOCK) * np.sqrt(2)
+        assert abs(f_p - f_x) < 4 * sigma, (f_p, f_x)
+        # the rim must have done something: some absorptions sit in the
+        # shell band beyond the inner radius (rim-face kills)
+        st = np.asarray(res.status)
+        r = np.linalg.norm(np.asarray(res.last_point.stack())[st == 2],
+                           axis=1)
+        assert (r > 100.1 + 1e-3).any()
+
+
+class TestPallasGuards:
+    def test_block_multiple_required(self):
+        with pytest.raises(ValueError):
+            trace_rays_pallas(jax.random.key(0), SCENE, SOURCE_OVERNIGHT,
+                              BLOCK + 1, CFG)
+
+    def test_raw_kernel_rejects_exact_rim(self):
+        with pytest.raises(NotImplementedError):
+            trace_rays_pallas(jax.random.key(0),
+                              SCENE.with_(exact_rim=True),
+                              SOURCE_OVERNIGHT, BLOCK, CFG)
+
+    def test_interpreter_requires_sw_prng(self):
+        with pytest.raises(ValueError):
+            trace_rays_pallas(jax.random.key(0), SCENE, SOURCE_OVERNIGHT,
+                              BLOCK, CFG, interpret=True, hw_prng=True)
+
+    def test_non_lambertian_falls_back_to_xla(self):
+        from altair_tpu.config import SurfaceModel
+
+        scene = SCENE.with_(surface_model=SurfaceModel.SPECULAR)
+        res = trace_rays_fast(jax.random.key(0), scene, SOURCE_OVERNIGHT,
+                              1000, CFG, interpret=True, hw_prng=False)
+        assert res.status.shape == (1000,)
+
+
+class TestSwUniform:
+    def test_distribution_moments(self):
+        """The counter-based hash must be a credible U[0,1): moments and
+        range checked outside the kernel (plain jnp ops)."""
+        lane = jnp.arange(1 << 14, dtype=jnp.uint32)
+        lane_h = _fmix32(lane ^ jnp.uint32(0xDEADBEEF))
+        draws = np.stack([
+            np.asarray(_sw_uniform_host(lane_h, jnp.uint32(c)))
+            for c in range(8)
+        ])
+        assert draws.min() >= 0.0 and draws.max() < 1.0
+        assert abs(draws.mean() - 0.5) < 0.005
+        assert abs(draws.std() - np.sqrt(1 / 12)) < 0.005
+        # draws at different counters are decorrelated
+        c = np.corrcoef(draws[0], draws[1])[0, 1]
+        assert abs(c) < 0.05
+
+
+def _sw_uniform_host(lane_h, ctr):
+    """Host-side replica of _sw_uniform (pltpu.bitcast needs a kernel)."""
+    h = _fmix32(lane_h + ctr * jnp.uint32(0x9E3779B9))
+    return (h >> jnp.uint32(8)).astype(jnp.float32) * float(2.0 ** -24)

@@ -93,6 +93,57 @@ class TestParamSweep:
         assert abs(fr[0] - 0.748) < 0.015
         assert abs(fr[1] - 0.425) < 0.015
 
+    def test_fluxmaps_match_single_device_series(self, mesh):
+        """With a grid, the sharded series returns per-scene flux maps
+        statistically consistent with run_series_vmapped (SURVEY §2.3.5's
+        multi-chip claim, made fluxmap-capable)."""
+        from altair_tpu.sweep.series import run_series_vmapped
+
+        ports = [164.0, 170.0]
+        grid = DetectorGrid(n_theta=4, n_phi=3)
+        n = 16_000
+        scenes = stack_scenes(SCENE, theta_max_deg=jnp.asarray(ports))
+        maps, exits = sharded_param_sweep(
+            mesh, jax.random.key(2), scenes, SOURCE_OVERNIGHT, n, CFG,
+            grid=grid)
+        maps = np.asarray(maps)
+        assert maps.shape == (2, 4, 3)
+        ref_maps, ref_exits = run_series_vmapped(
+            SCENE, SOURCE_OVERNIGHT, port_angles=ports, n_rays=n, grid=grid,
+            seed=7, cfg=CFG)
+        sigma = np.sqrt(np.maximum(ref_maps, 1)) * 4 + 10
+        assert (np.abs(maps - ref_maps) < sigma).all()
+        assert np.abs(np.asarray(exits) - ref_exits).max() < 4 * np.sqrt(
+            0.7 * 0.3 * n) * 2 + 20
+
+
+class TestShardedRetrace:
+    def test_matches_single_device_retrace(self, mesh):
+        """Multi-chip fresh-rays-per-position sweep vs the single-chip
+        fluxmap_retrace on the same grid (independent streams, counts are
+        binomial per position)."""
+        from altair_tpu.core.score import fluxmap_retrace
+        from altair_tpu.parallel import sharded_retrace
+
+        grid = DetectorGrid(n_theta=3, n_phi=2)
+        n_per_pos = 4_000
+        counts = np.asarray(sharded_retrace(
+            mesh, jax.random.key(0), SCENE, SOURCE_OVERNIGHT, grid,
+            n_per_pos, CFG))
+        assert counts.shape == (3, 2)
+        ref = np.asarray(jax.jit(
+            lambda k: fluxmap_retrace(k, SCENE, SOURCE_OVERNIGHT, grid,
+                                      n_per_pos, CFG))(jax.random.key(1)))
+        sigma = np.sqrt(np.maximum(ref, 1)) * 4 + 12
+        assert (np.abs(counts - ref) < sigma).all()
+
+    def test_division_check(self, mesh):
+        from altair_tpu.parallel import sharded_retrace
+
+        with pytest.raises(ValueError):
+            sharded_retrace(mesh, jax.random.key(0), SCENE, SOURCE_OVERNIGHT,
+                            DetectorGrid(n_theta=2, n_phi=2), 1001, CFG)
+
 
 class TestShardedWaves:
     def test_waves_engine_inside_shard_map(self, mesh, monkeypatch):

@@ -60,6 +60,69 @@ class TestRimPhysics:
         assert abs(f_jax - f_nat) < sigma, (f_jax, f_nat)
 
 
+class TestRimDeferred:
+    """trace_rays_rim_deferred — rim physics applied post-hoc to clipped
+    escapers (the production fast path; see its docstring)."""
+
+    def _defer(self, key, scene, n, **kw):
+        from altair_tpu.core.trace import trace_rays_rim_deferred
+
+        return jax.jit(
+            lambda k: trace_rays_rim_deferred(k, scene, SOURCE_OVERNIGHT, n,
+                                              **kw))(key)
+
+    def test_matches_inloop_rim_statistics(self):
+        res, ovf = self._defer(jax.random.key(7), SCENE, N)
+        loop = trace_rays_jit(jax.random.key(8), SCENE, SOURCE_OVERNIGHT, N)
+        f_d = float(exit_count(res)) / N
+        f_l = float(exit_count(loop)) / N
+        assert int(ovf) == 0
+        # independent streams, same physics: 4 sigma on the difference
+        sigma = np.sqrt(0.425 * 0.575 / N) * np.sqrt(2)
+        assert abs(f_d - f_l) < 4 * sigma, (f_d, f_l)
+
+    def test_port_sweep_centers_on_corpus(self):
+        for port, center in ((160.0, 0.748), (164.0, 0.655), (170.0, 0.425)):
+            res, ovf = self._defer(jax.random.key(9),
+                                   SCENE.with_(theta_max_deg=port), N)
+            assert int(ovf) == 0
+            frac = float(exit_count(res)) / N
+            assert abs(frac - center) < 0.008, (port, frac)
+
+    def test_all_terminate_and_absorbed_on_shell(self):
+        res, _ = self._defer(jax.random.key(10), SCENE, N)
+        st = np.asarray(res.status)
+        assert ((st == 1) | (st == 2)).all()
+        p = np.asarray(res.last_point.stack())[st == 2]
+        r = np.linalg.norm(p, axis=1)
+        assert (r > 100.1 - 1e-2).all() and (r < 101.0 + 1e-2).all()
+
+    def test_overflow_counter_fires_at_tiny_capacity(self):
+        """capacity_shift large enough that clipped rays exceed the buffer:
+        the overflow counter must report them instead of failing silently."""
+        _, ovf = self._defer(jax.random.key(11), SCENE, N,
+                             capacity_shift=30)  # buffer floor = 256 lanes
+        n_clipped_expected = 0.02 * N  # ~2% of rays clip at port 170
+        assert int(ovf) > n_clipped_expected / 3
+
+    def test_auto_dispatch_routes_rim_scenes(self):
+        from altair_tpu.core.trace_waves import trace_rays_auto
+
+        res = jax.jit(lambda k: trace_rays_auto(
+            k, SCENE, SOURCE_OVERNIGHT, 20_000))(jax.random.key(12))
+        frac = float(exit_count(res)) / 20_000
+        assert abs(frac - 0.425) < 0.012, frac
+
+    def test_history_request_rejected(self):
+        from altair_tpu import TraceConfig
+        from altair_tpu.core.trace import trace_rays_rim_deferred
+
+        with pytest.raises(ValueError):
+            trace_rays_rim_deferred(jax.random.key(0), SCENE,
+                                    SOURCE_OVERNIGHT, 1024,
+                                    TraceConfig(keep_history=8))
+
+
 class TestRimExtremePorts:
     @pytest.mark.skipif(not native.available(),
                         reason="native library not built")
