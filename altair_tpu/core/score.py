@@ -278,18 +278,36 @@ def z_angle_histogram(dz, mask, n_bins: int = 100):
 # ---------------------------------------------------------------------------
 
 def insphere_disk_position(theta_deg, phi_deg, radius=200.0,
-                           exit_port_z=-100.0):
+                           exit_port_z=-100.0, aimed: bool = False):
     """Disk placement of ``addDetectorDisk``
     (``integratingSphereDetectorSweep.C:145-172``): centre at spherical
-    coords about the ORIGIN (r=200 cm, theta from -z), normal aimed at the
-    port centre (0, 0, exit_port_z)."""
+    coords about the ORIGIN (r=200 cm, theta from -z).
+
+    The normal reproduces the macro's actual rotation: ``rot->RotateZ(
+    rotPhi); rot->RotateY(rotTheta)`` — but ROOT's ``TGeoRotation::Rotate*``
+    LEFT-multiplies (master-frame rotations), so the composed matrix is
+    ``R_y(rotTheta) @ R_z(rotPhi)`` and the tube axis lands at
+    ``(sin rotTheta, 0, cos rotTheta)`` with ``rotTheta = -atan2(
+    hypot(dx, dy), dz)`` — INDEPENDENT of phi.  The disks are therefore
+    aimed at the port only on the phi = 0 / theta > 0 ray of the sweep and
+    tilted everywhere else; the retained ``detector_sweep*.txt`` corpus was
+    produced with these tilted disks (pinned by tests/test_insphere_parity
+    .py: the faithful normal matches the corpus theta-profile at
+    correlation 0.99 / scale 1.01, the 'aimed' one is 30% too wide).
+    ``aimed=True`` gives the aim-at-port normal the macro's comment
+    describes."""
     th = jnp.deg2rad(theta_deg)
     ph = jnp.deg2rad(phi_deg)
     cx = radius * jnp.sin(th) * jnp.cos(ph)
     cy = radius * jnp.sin(th) * jnp.sin(ph)
     cz = -radius * jnp.cos(th)
     d = Vec3(0.0 - cx, 0.0 - cy, exit_port_z - cz)
-    return Vec3(cx, cy, cz), d.normalized()
+    if aimed:
+        return Vec3(cx, cy, cz), d.normalized()
+    rot_theta = -jnp.arctan2(jnp.sqrt(d.x * d.x + d.y * d.y), d.z)
+    normal = Vec3(jnp.sin(rot_theta), jnp.zeros_like(rot_theta),
+                  jnp.cos(rot_theta))
+    return Vec3(cx, cy, cz), normal
 
 
 def hits_insphere_disk(result: TraceResult, center: Vec3, normal: Vec3,

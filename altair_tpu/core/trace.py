@@ -304,6 +304,46 @@ def trace_rays_jit(key, scene, source, n_rays, cfg=TraceConfig()):
     return trace_rays(key, scene, source, n_rays, cfg)
 
 
+def rim_deferred_capacity_shift(scene: SphereScene) -> int | None:
+    """Plan the deferred-rim continuation capacity for a scene, or ``None``
+    when deferral is unsafe/unprofitable and the in-loop rim kernel should
+    be used instead.
+
+    The clip-given-escape fraction scales with the rim band's angular width
+    seen across the port: band = shell_thickness / (r_inner * sin(alpha)),
+    alpha = 180 - theta_max (measured 0.046 at band 0.052 for the
+    production shell — ratio ~0.89; bounded here by 1.2x band).  Expected
+    clipped fraction = expected_exit_fraction * clip bound; the buffer gets
+    a further 3x margin.  Scenes where that margin exceeds 1/4 of the batch
+    (e.g. the 4.9 cm shell of integratingSphereDetectorSweep.C:119 at
+    reflectance 1, where ~1/3 of escapers clip) return None — at that
+    clip rate the in-loop kernel is cheaper anyway.  Traced (non-concrete)
+    scene parameters also return None: the static capacity cannot be
+    bounded.
+    """
+    import math
+    import numbers
+
+    vals = (scene.theta_max_deg, scene.reflectance, scene.inner_radius,
+            scene.outer_radius)
+    if not all(isinstance(v, numbers.Number) for v in vals):
+        return None
+    from ..config import expected_exit_fraction
+
+    alpha = math.radians(180.0 - float(scene.theta_max_deg))
+    band = ((float(scene.outer_radius) - float(scene.inner_radius))
+            / (float(scene.inner_radius) * math.sin(alpha)))
+    clip = min(1.0, 1.2 * band)
+    cap_frac = 3.0 * clip * expected_exit_fraction(scene.theta_max_deg,
+                                                   scene.reflectance)
+    if cap_frac > 0.25:
+        return None
+    shift = 2
+    while shift < 6 and 1.0 / (1 << (shift + 1)) >= cap_frac:
+        shift += 1
+    return shift
+
+
 def trace_rays_rim_deferred(
     key: jax.Array,
     scene: SphereScene,

@@ -402,12 +402,19 @@ def trace_rays_fast(
     if not use_pallas:
         return trace_rays(key, scene, source, n_rays, cfg)
     if scene.exact_rim:
-        from .trace import trace_rays_rim_deferred
+        from .trace import rim_deferred_capacity_shift, trace_rays_rim_deferred
+
+        shift = rim_deferred_capacity_shift(scene)
+        if shift is None:
+            # thick-rim / traced scene: the Pallas kernel has no in-loop rim
+            # path, so the XLA rim kernel takes over
+            return trace_rays(key, scene, source, n_rays, cfg)
 
         def main(k, sc, so, n, c):
             return _pallas_padded(k, sc, so, n, c, interpret, hw_prng)
 
         res, _ = trace_rays_rim_deferred(key, scene, source, n_rays, cfg,
+                                         capacity_shift=shift,
                                          main_tracer=main)
         return res
     return _pallas_padded(key, scene, source, n_rays, cfg, interpret,

@@ -209,19 +209,27 @@ def trace_rays_auto(
       v5e) — as the rim-deferred main phase when both apply.
 
     Same TraceResult contract as ``trace_rays``."""
-    from .trace import trace_rays, trace_rays_rim_deferred
+    from .trace import (
+        rim_deferred_capacity_shift,
+        trace_rays,
+        trace_rays_rim_deferred,
+    )
 
     if cfg.keep_history:
         return trace_rays(key, scene, source, n_rays, cfg)
     use_waves = n_rays >= waves_threshold and waves_safe(scene)
-    if scene.exact_rim:
+    shift = rim_deferred_capacity_shift(scene) if scene.exact_rim else None
+    if shift is not None:
         main = None
         if use_waves:
             def main(k, sc, so, n, c):
                 return trace_rays_waves(k, sc, so, n, c)[0]
         res, _ = trace_rays_rim_deferred(key, scene, source, n_rays, cfg,
+                                         capacity_shift=shift,
                                          main_tracer=main)
         return res
+    # exact-rim scenes that can't be safely deferred (thick rim band /
+    # traced params) run the in-loop rim kernel, inside waves when large
     if use_waves:
         return trace_rays_waves(key, scene, source, n_rays, cfg)[0]
     return trace_rays(key, scene, source, n_rays, cfg)

@@ -23,7 +23,12 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import DetectorGrid, SphereScene, Source, TraceConfig
 from ..core.score import exit_angle_histogram, fluxmap_retrace, fluxmap_trace_once
-from ..core.trace import EXITED, TraceResult, trace_rays_rim_deferred
+from ..core.trace import (
+    EXITED,
+    TraceResult,
+    rim_deferred_capacity_shift,
+    trace_rays_rim_deferred,
+)
 from ..core.trace import trace_rays as _trace_plain
 from ..core.trace_waves import trace_rays_waves, waves_safe
 
@@ -45,11 +50,14 @@ def _pick_tracer(scene, n_local, cfg, waves_threshold=None):
     def wave(k, sc, src, n, c):
         return trace_rays_waves(k, sc, src, n, c)[0]
 
-    if scene.exact_rim:
+    shift = (rim_deferred_capacity_shift(scene) if scene.exact_rim
+             else None)
+    if shift is not None:
         main = wave if use_waves else None
 
         def rim(k, sc, src, n, c):
             return trace_rays_rim_deferred(k, sc, src, n, c,
+                                           capacity_shift=shift,
                                            main_tracer=main)[0]
 
         return rim
@@ -275,14 +283,10 @@ def sharded_param_sweep(
     if n_rays_per_scene % n_dev:
         raise ValueError("n_rays_per_scene must divide over devices")
     n_local = n_rays_per_scene // n_dev
-    exact_rim = bool(getattr(scenes, "exact_rim", False))
-
-    def tracer(k, sc, src, n, c):
-        # batched scenes are traced values -> static engine guards are
-        # unavailable; dispatch on the static exact_rim flag only
-        if exact_rim:
-            return trace_rays_rim_deferred(k, sc, src, n, c)[0]
-        return _trace_plain(k, sc, src, n, c)
+    # the scene batch is traced inside the kernel, so the deferred-rim
+    # capacity cannot be statically bounded per member — exact-rim scenes
+    # use the in-loop rim kernel here (rim_deferred_capacity_shift contract)
+    tracer = _trace_plain
 
     scenes_spec = jax.tree.map(lambda _: P(), scenes)
 

@@ -51,12 +51,15 @@ def sweep_insphere_detector(
     cfg: TraceConfig = TraceConfig(),
     retrace: bool = False,
     save_path: str | None = "detector_sweep3.txt",
+    aimed: bool = False,
 ) -> InsphereSweepResult:
     """Sweep the focal-surface disk over theta in [-theta_max, theta_max]
     (inclusive, like the reference's ``theta <= thetaMax`` loop) x
     phi in [0, 360) step dphi.  Defaults replicate
     ``integratingSphereDetectorSweep():119-129`` (100k rays, dtheta 0.5,
-    theta 45, disk r=5 cm)."""
+    theta 45, disk r=5 cm).  ``aimed``: use the aim-at-port disk normal
+    instead of the reference's faithful (phi-independent, tilted) one —
+    see ``insphere_disk_position``."""
     t0 = time.perf_counter()
     thetas = np.arange(-theta_max, theta_max + dtheta / 2, dtheta)
     phis = np.arange(0.0, 360.0, dphi)
@@ -67,7 +70,7 @@ def sweep_insphere_detector(
     pp = np.tile(phis, len(thetas))
     centers, normals = insphere_disk_position(
         jnp.asarray(tt, jnp.float32), jnp.asarray(pp, jnp.float32),
-        placement_radius, scene.exit_port_z)
+        placement_radius, scene.exit_port_z, aimed=aimed)
 
     if retrace:
         @jax.jit
