@@ -26,6 +26,95 @@ REF = {
     "throughput_rays_s": 1.0e5,
 }
 
+# TPU v5e (v5 lite) peaks for the roofline/MFU accounting:
+#   MXU:  197 TFLOP/s bf16.  fp32 matmuls lower to multi-pass bf16
+#         (~1/8 rate) => ~24.6 TFLOP/s effective fp32-MXU ceiling.
+#   VPU:  8 sublanes x 128 lanes x 4 ALUs x ~0.94 GHz ~= 3.9 TFLOP/s fp32 —
+#         the relevant ceiling for the trace kernel (pure elementwise).
+#   HBM:  819 GB/s.
+# Ridge point (VPU): 3.9e12 / 819e9 ~= 4.8 flop/byte.
+V5E_PEAK = {
+    "mxu_bf16_flops": 197e12,
+    "mxu_fp32_flops": 24.6e12,
+    "vpu_fp32_flops": 3.9e12,
+    "hbm_bytes_s": 819e9,
+}
+
+
+def roofline(scene, src, cfg, log, timeit):
+    """MFU / roofline accounting for the two hot phases.
+
+    FLOPs-per-bounce comes from XLA's own cost analysis of ONE compiled
+    bounce step (no hand count to go stale); the lane-iteration rate is
+    measured on a fixed-K loop so lane-iterations are exact (every lane
+    computes every iteration in this SIMD design, dead or alive).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from altair_tpu.config import TraceConfig
+    from altair_tpu.core.geometry import Vec3
+    from altair_tpu.core.trace import make_bounce_step, trace_rays
+
+    N = 1 << 20
+
+    # ---- cost model of one bounce step -----------------------------------
+    step = make_bounce_step(jax.random.key(0), scene, N, cfg)
+    z = jnp.zeros((N,), cfg.dtype)
+    carry = (Vec3(z, z, z), Vec3(z + 1.0, z, z), Vec3(z, z, z),
+             jnp.zeros((N,), jnp.int32), jnp.zeros((N,), jnp.int32),
+             jnp.zeros((N,), bool))
+    compiled = jax.jit(lambda c: step(0, c)).lower(carry).compile()
+    ca = compiled.cost_analysis()
+    ca = ca[0] if isinstance(ca, list) else ca
+    flops_per_bounce = float(ca.get("flops", 0.0)) / N
+    transc_per_bounce = float(ca.get("transcendentals", 0.0)) / N
+    bytes_per_bounce = float(ca.get("bytes accessed", 0.0)) / N
+    log("flops_per_lane_bounce", round(flops_per_bounce, 1))
+    log("transcendentals_per_lane_bounce", round(transc_per_bounce, 1))
+    log("bytes_per_lane_bounce", round(bytes_per_bounce, 1))
+
+    # ---- measured lane-iteration rate (fixed K iterations, exact count) --
+    K = 256
+    sc_k = scene.with_(max_bounces=K)
+    cfg_k = TraceConfig(dtype=cfg.dtype, block_iters=K,
+                        rng_impl=cfg.rng_impl)
+    f = jax.jit(lambda k: trace_rays(k, sc_k, src, N, cfg_k).status.sum())
+    t = timeit(f, jax.random.key(1), repeats=2)
+    lane_iters_s = N * K / t
+    flops_s = lane_iters_s * flops_per_bounce
+    bytes_s = lane_iters_s * bytes_per_bounce
+    log("trace_lane_iters_per_s", round(lane_iters_s))
+    log("trace_achieved_flops_s", round(flops_s))
+    log("trace_vpu_mfu_pct", round(100 * flops_s
+                                   / V5E_PEAK["vpu_fp32_flops"], 1))
+    log("trace_hbm_util_pct", round(100 * bytes_s
+                                    / V5E_PEAK["hbm_bytes_s"], 1))
+
+    # ---- score phase ------------------------------------------------------
+    from altair_tpu import DetectorGrid
+    from altair_tpu.core.score import fluxmap_trace_once
+
+    grid = DetectorGrid()
+    n_score = 100_000
+    res = jax.jit(lambda k: trace_rays(k, scene, src, n_score, cfg))(
+        jax.random.key(2))
+    jax.block_until_ready(res)
+    fscore = jax.jit(lambda r: fluxmap_trace_once(r, grid).sum())
+    ca2 = fscore.lower(res).compile().cost_analysis()
+    ca2 = ca2[0] if isinstance(ca2, list) else ca2
+    score_flops = float(ca2.get("flops", 0.0))
+    t2 = timeit(fscore, res, repeats=3)
+    log("score_flops", round(score_flops))
+    log("score_achieved_flops_s", round(score_flops / t2))
+    log("score_mxu_fp32_pct", round(100 * score_flops / t2
+                                    / V5E_PEAK["mxu_fp32_flops"], 2))
+    log("score_vpu_pct", round(100 * score_flops / t2
+                               / V5E_PEAK["vpu_fp32_flops"], 1))
+    intensity = (flops_per_bounce / bytes_per_bounce
+                 if bytes_per_bounce else float("nan"))
+    log("trace_arith_intensity_flop_per_byte", round(intensity, 2))
+
 
 def _readback(x):
     import jax
@@ -94,6 +183,9 @@ def main():
     f = jax.jit(lambda k: trace_rays_auto(k, scene, src, n_big, cfg).status.sum())
     t = timeit(f, jax.random.key(2), repeats=2)
     log("throughput_rays_s", n_big / t)
+
+    # -- roofline / MFU accounting ------------------------------------------
+    roofline(scene, src, cfg, log, timeit)
 
     # -- exit-fraction invariants ------------------------------------------
     fracs = {}

@@ -11,6 +11,7 @@ from altair_tpu.viz import plot_rays, trace_paths
 
 
 class TestCli:
+    @pytest.mark.slow
     def test_fluxmap_subcommand(self, tmp_path):
         rc = main([
             "fluxmap", "--rays", "2000", "--max-bounces", "512",
@@ -44,6 +45,7 @@ class TestCli:
         assert rc == 0
         assert os.path.getsize(out) > 1000
 
+    @pytest.mark.slow
     def test_analyze_subcommand(self, tmp_path):
         # produce a map, then analyze it
         main(["fluxmap", "--rays", "2000", "--max-bounces", "512",

@@ -13,6 +13,9 @@ import sys
 
 import pytest
 
+pytestmark = pytest.mark.slow  # spawns a 2-process jax.distributed cluster
+
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 

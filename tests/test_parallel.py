@@ -16,6 +16,9 @@ from altair_tpu.parallel import (
 )
 from altair_tpu.sweep.series import stack_scenes
 
+pytestmark = pytest.mark.slow  # 8-device-mesh consistency sweeps
+
+
 SCENE = SCENE_OPTIMIZE.with_(max_bounces=1024)
 CFG = TraceConfig(block_iters=16)
 

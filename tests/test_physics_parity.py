@@ -34,6 +34,9 @@ from altair_tpu import DetectorGrid, SCENE_OPTIMIZE, SOURCE_OVERNIGHT
 from altair_tpu.core import score
 from altair_tpu.core.trace import EXITED, exit_count, trace_rays_jit
 
+pytestmark = pytest.mark.slow  # corpus-scale (100k-ray) golden tests
+
+
 # [theta_deg, mean fraction, stderr] — retrace corpus, port 170 (see above).
 GOLDEN_PROFILE = np.array([
     [0.25, 0.015578, 3.1e-05],

@@ -8,6 +8,9 @@ import pytest
 from altair_tpu import SCENE_OPTIMIZE, SOURCE_OVERNIGHT, native
 from altair_tpu.core.trace import EXITED, exit_count, trace_rays_jit
 
+pytestmark = pytest.mark.slow  # 50k-ray rim-physics statistics
+
+
 SCENE = SCENE_OPTIMIZE.with_(max_bounces=4096)  # exact_rim=True by default
 N = 50_000
 

@@ -5,6 +5,10 @@ import numpy as np
 
 from altair_tpu import DetectorGrid, SOURCE_DEMO, SphereScene
 from altair_tpu.sweep import sweep_scatter_retrace, trace_scatter_retrace
+import pytest
+
+pytestmark = pytest.mark.slow  # two-stage 100k-ray pipelines
+
 
 # nonLambertianFlux.C scene: rho=1 walls (no SetReflectance), limit 10000,
 # gBRDF(roughness=0.3, spec=0.4, diff=0.6)  (:211)

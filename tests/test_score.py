@@ -78,6 +78,7 @@ class TestTraceOnceScorer:
         assert (spread[:5] < 0.2).all()  # low-theta rows are phi-uniform
 
 
+@pytest.mark.slow
 class TestRetraceConsistency:
     def test_retrace_matches_trace_once(self):
         """Cross-method consistency (SURVEY.md §4.3): the retrace sweep and

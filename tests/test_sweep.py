@@ -33,6 +33,8 @@ from altair_tpu.sweep import (
     write_ray_log,
 )
 
+pytestmark = pytest.mark.slow  # end-to-end sweep drivers (many full traces)
+
 SCENE = SCENE_OPTIMIZE.with_(max_bounces=2048)
 GRID = DetectorGrid(n_theta=12, n_phi=6)
 
