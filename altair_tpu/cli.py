@@ -130,15 +130,19 @@ def cmd_insphere(args):
 
 
 def cmd_visualize(args):
-    from .viz import plot_rays, print_census, trace_paths
+    from .viz import export_html, plot_rays, print_census, trace_paths
 
     scene, source = _scene_source(args)
     paths = trace_paths(scene, source, n_rays=args.rays, seed=args.seed,
                         detector_theta=args.det_theta,
                         detector_phi=args.det_phi)
     print_census(paths, args.rays)
-    plot_rays(paths, scene, only_show_red=args.only_red,
-              save_path=args.out_file)
+    if args.out_file.endswith(".html"):
+        export_html(paths, scene, args.out_file,
+                    only_show_red=args.only_red)
+    else:
+        plot_rays(paths, scene, only_show_red=args.only_red,
+                  save_path=args.out_file)
     print(f"saved {args.out_file}")
     return 0
 
@@ -240,7 +244,9 @@ def main(argv=None) -> int:
     p.add_argument("--det-phi", type=float, default=0.0)
     p.add_argument("--only-red", action="store_true",
                    help="showRedRaysOnly mode")
-    p.add_argument("--out-file", default="rays.png")
+    p.add_argument("--out-file", default="rays.png",
+                   help="output image; a .html extension writes the "
+                        "interactive drag-to-rotate viewer instead")
     p.set_defaults(fn=cmd_visualize)
 
     p = sub.add_parser("scatter-retrace",

@@ -38,6 +38,9 @@ class RayPaths:
     classes: np.ndarray       # [N] of {"hit", "exit", "noexit", "suspended"}
     census: dict              # class -> count (the printed census,
                               # fluxAtObserverFast.C:1601-1611)
+    detector: tuple | None = None   # (center xyz, normal xyz, width cm) of
+                                    # the scored detector, for drawing
+    source: tuple | None = None     # source position xyz
 
 
 def trace_paths(
@@ -62,6 +65,7 @@ def trace_paths(
     exit_mask = np.asarray(res.exited_port_mask(scene.exit_port_z))
     status = np.asarray(res.status)
 
+    detector = None
     if detector_theta is not None:
         import jax.numpy as jnp
         c, nrm = detector_position(
@@ -69,6 +73,9 @@ def trace_paths(
             detector_radius, scene.exit_port_z)
         hit = np.asarray(line_hits_disk(
             res.last_point, res.direction, c, nrm, detector_width / 2.0))
+        detector = (np.array([float(c.x), float(c.y), float(c.z)]),
+                    np.array([float(nrm.x), float(nrm.y), float(nrm.z)]),
+                    float(detector_width))
     else:
         hit = np.zeros(n_rays, bool)
 
@@ -83,11 +90,42 @@ def trace_paths(
         lengths=np.asarray(res.history_len),
         classes=classes,
         census=census,
+        detector=detector,
+        source=(float(source.x), float(source.y), float(source.z)),
     )
 
 
 _CLASS_COLORS = {"hit": COLOR_HIT, "exit": COLOR_EXIT_MISS,
                  "noexit": COLOR_NO_EXIT, "suspended": COLOR_SUSPENDED}
+
+
+def _detector_curves(detector):
+    """(disk circle [73,3], square outline [5,3]) of the detector —
+    the acceptance disk (radius width/2, ``fluxAtObserver.C:106``) inside
+    the drawn square plate (``Detector::CreateGeometry``, ``:109-144``)."""
+    c, n, width = detector
+    c = np.asarray(c, float)
+    n = np.asarray(n, float)
+    a = np.array([1.0, 0.0, 0.0]) if abs(n[0]) < 0.9 else np.array([0.0, 1.0, 0.0])
+    u = np.cross(n, a)
+    u /= np.linalg.norm(u)
+    v = np.cross(n, u)
+    half = float(width) / 2.0
+    t = np.linspace(0, 2 * np.pi, 73)
+    disk = c[None, :] + half * (np.outer(np.cos(t), u) + np.outer(np.sin(t), v))
+    sq = np.array([c + half * (su * u + sv * v)
+                   for su, sv in ((1, 1), (1, -1), (-1, -1), (-1, 1), (1, 1))])
+    return disk, sq
+
+
+def _port_circle(scene, n_pts: int = 73):
+    """The port rim circle (theta = theta_max on the inner shell)."""
+    r = float(scene.inner_radius)
+    tmax = np.deg2rad(float(scene.theta_max_deg))
+    rho, z = r * np.sin(tmax), r * np.cos(tmax)
+    t = np.linspace(0, 2 * np.pi, n_pts)
+    return np.stack([rho * np.cos(t), rho * np.sin(t),
+                     np.full_like(t, z)], axis=1)
 
 
 def plot_rays(
@@ -119,6 +157,25 @@ def plot_rays(
     ax.plot_wireframe(r * np.sin(T) * np.cos(P), r * np.sin(T) * np.sin(P),
                       r * np.cos(T), color="lightsteelblue", alpha=0.25,
                       linewidth=0.5)
+
+    # port rim circle (the hole the rays escape through)
+    port = _port_circle(scene)
+    ax.plot(port[:, 0], port[:, 1], port[:, 2], color="navy", linewidth=1.2,
+            label="_port")
+
+    # the detector the green rays hit (Detector::AddToGeometry content,
+    # fluxAtObserver.C:109-144): square plate + acceptance disk
+    if paths.detector is not None:
+        disk, sq = _detector_curves(paths.detector)
+        ax.plot(sq[:, 0], sq[:, 1], sq[:, 2], color="black", linewidth=1.0)
+        ax.plot(disk[:, 0], disk[:, 1], disk[:, 2], color="darkgreen",
+                linewidth=1.4)
+
+    # source marker
+    if paths.source is not None:
+        sx, sy, sz = paths.source
+        ax.scatter([sx], [sy], [sz], color="crimson", s=40, marker="*",
+                   depthshade=False)
 
     shown = 0
     for i in range(len(paths.classes)):

@@ -84,6 +84,45 @@ class TestViz:
         plot_rays(paths, SCENE_OPTIMIZE, only_show_red=True, save_path=out)
         assert os.path.exists(out)
 
+    def test_detector_recorded_and_drawn(self, tmp_path):
+        """The scored detector is carried on RayPaths and drawn in the
+        scene (visualizeDetector shows the plate the green rays hit,
+        fluxAtObserver.C:109-144 — VERDICT r1 missing #2)."""
+        paths = trace_paths(SCENE_V1.with_(max_bounces=512), SOURCE_DEMO,
+                            n_rays=8, keep_history=32, detector_theta=30.0)
+        assert paths.detector is not None
+        center, normal, width = paths.detector
+        assert width == 20.0
+        assert abs(np.linalg.norm(normal) - 1.0) < 1e-5
+        out = str(tmp_path / "det.png")
+        plot_rays(paths, SCENE_V1, save_path=out)
+        assert os.path.getsize(out) > 1000
+
+    def test_html_export(self, tmp_path):
+        from altair_tpu.viz import export_html
+
+        paths = trace_paths(SCENE_V1.with_(max_bounces=512), SOURCE_DEMO,
+                            n_rays=8, keep_history=32)
+        out = str(tmp_path / "rays.html")
+        export_html(paths, SCENE_V1, out)
+        html = open(out).read()
+        assert "<canvas" in html and "det_disk" in html
+        # the embedded data must be valid JSON with the scene content
+        import json
+        import re
+        data = json.loads(re.search(r"const D = (\{.*?\});\n", html,
+                                    re.S).group(1))
+        assert data["det_disk"] is not None
+        assert len(data["rays"]) == 8
+        assert data["src"] is not None
+
+    def test_cli_html_output(self, tmp_path):
+        out = str(tmp_path / "rays.html")
+        rc = main(["visualize", "--rays", "8", "--max-bounces", "256",
+                   "--out-file", out])
+        assert rc == 0
+        assert os.path.getsize(out) > 2000
+
 
 class TestAsciiViz:
     def test_ascii_fluxmap(self):
