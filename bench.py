@@ -39,48 +39,54 @@ def main():
     from altair_tpu.core.score import exit_capacity, fluxmap_trace_once_compact
     from altair_tpu.core.trace_waves import trace_rays_auto as trace_rays
 
-    scene = SCENE_OPTIMIZE.with_(max_bounces=args.max_bounces)
     source = SOURCE_OVERNIGHT
     grid = DetectorGrid()
     cfg = TraceConfig()
 
-    cap = exit_capacity(scene, args.rays)
-
-    @jax.jit
-    def fluxmap(key):
-        res = trace_rays(key, scene, source, args.rays, cfg)
-        counts, overflow = fluxmap_trace_once_compact(
-            res, grid, cap, scene.exit_port_z)
-        n_exit = res.exited_port_mask(scene.exit_port_z).sum()
-        return counts, n_exit, overflow
-
     def key(i):
         return jax.random.key(i, impl=args.rng)
 
-    # compile + one full warm execution (excluded, like the reference's
-    # ACLiC build); int() forces a real device->host readback — plain
-    # block_until_ready can return early through this async transport
-    counts, n_exit, overflow = fluxmap(key(0))
-    int(n_exit)
+    def measure(scene):
+        cap = exit_capacity(scene, args.rays)
 
-    times = []
-    for i in range(args.repeats):
-        t0 = time.perf_counter()
-        counts, n_exit, overflow = fluxmap(key(i + 1))
-        # force full materialisation + device->host readback inside the timed
-        # region (block_until_ready alone can return early through async
-        # remote-execution transports)
-        n_exit_host = int(n_exit)
-        times.append(time.perf_counter() - t0)
-        if int(overflow):
-            raise RuntimeError(f"exit-compaction overflow: {int(overflow)}")
-    wall = min(times)
+        @jax.jit
+        def fluxmap(k):
+            res = trace_rays(k, scene, source, args.rays, cfg)
+            counts, overflow = fluxmap_trace_once_compact(
+                res, grid, cap, scene.exit_port_z)
+            n_exit = res.exited_port_mask(scene.exit_port_z).sum()
+            return counts, n_exit, overflow
 
-    exit_frac = float(n_exit) / args.rays
+        # compile + one full warm execution (excluded, like the reference's
+        # ACLiC build); int() forces a real device->host readback — plain
+        # block_until_ready can return early through this async transport
+        counts, n_exit, overflow = fluxmap(key(0))
+        int(n_exit)
+
+        times = []
+        for i in range(args.repeats):
+            t0 = time.perf_counter()
+            counts, n_exit, overflow = fluxmap(key(i + 1))
+            # device->host readback inside the timed region
+            int(n_exit)
+            times.append(time.perf_counter() - t0)
+            if int(overflow):
+                raise RuntimeError(
+                    f"exit-compaction overflow: {int(overflow)}")
+        return min(times), times, float(n_exit) / args.rays, counts
+
+    # default physics (exact shell rim, the corpus-exact mode) = headline;
+    # simple mode (no rim) = the ceiling, reported alongside (VERDICT r1 #10)
+    scene = SCENE_OPTIMIZE.with_(max_bounces=args.max_bounces)
+    wall, times, exit_frac, counts = measure(scene)
+    wall_simple, times_s, exit_frac_s, _ = measure(
+        scene.with_(exact_rim=False))
+
     sys.stderr.write(
         f"# device={jax.devices()[0].device_kind} times={times} "
         f"exit_frac={exit_frac:.4f} (corpus 0.423-0.428) "
-        f"peak_frac={float(counts.max()) / args.rays:.5f}\n")
+        f"peak_frac={float(counts.max()) / args.rays:.5f} | "
+        f"simple mode: times={times_s} exit_frac={exit_frac_s:.4f}\n")
 
     baseline_best_s = 210.5  # reference trace-once best total, BASELINE.md
     print(json.dumps({
@@ -88,6 +94,9 @@ def main():
         "value": round(wall, 6),
         "unit": "seconds",
         "vs_baseline": round(baseline_best_s / wall, 2),
+        "mode": "exact_rim",
+        "simple_mode_value": round(wall_simple, 6),
+        "simple_mode_vs_baseline": round(baseline_best_s / wall_simple, 2),
     }))
 
 
