@@ -304,6 +304,10 @@ def trace_rays_jit(key, scene, source, n_rays, cfg=TraceConfig()):
     return trace_rays(key, scene, source, n_rays, cfg)
 
 
+# continuations at least this wide wave-compact their own bounce tail
+_WAVES_CONTINUATION_MIN = 65536
+
+
 def rim_deferred_capacity_shift(scene: SphereScene) -> int | None:
     """Plan the deferred-rim continuation capacity for a scene, or ``None``
     when deferral is unsafe/unprofitable and the in-loop rim kernel should
@@ -333,8 +337,13 @@ def rim_deferred_capacity_shift(scene: SphereScene) -> int | None:
     alpha = math.radians(180.0 - float(scene.theta_max_deg))
     band = ((float(scene.outer_radius) - float(scene.inner_radius))
             / (float(scene.inner_radius) * math.sin(alpha)))
-    clip = min(1.0, 1.2 * band)
-    cap_frac = 3.0 * clip * expected_exit_fraction(scene.theta_max_deg,
+    # measured clip-given-escape / band ratio is 0.89 at the production
+    # shell; band itself (ratio 1.0) plus the 2.5x margin below keeps a
+    # ~2.8x cushion over the measurement while halving the continuation
+    # width vs a blanket 1.2x/3x bound (the width is live cost: the
+    # continuation traces every buffered lane)
+    clip = min(1.0, band)
+    cap_frac = 2.5 * clip * expected_exit_fraction(scene.theta_max_deg,
                                                    scene.reflectance)
     if cap_frac > 0.25:
         return None
@@ -436,13 +445,26 @@ def trace_rays_rim_deferred(
     c_dir = Vec3.where(survive, d_scat, c_dir)
     in_gap0 = valid & survive
 
-    step = make_bounce_step(k_cont, scene, m, cfg)
-    max_iters = int(scene.max_bounces)
-    block = max(1, min(int(cfg.block_iters), max_iters))
     carry = (c_pt, c_dir, c_prev, status0, c_bounces, in_gap0)
-    pos, direction, prev, status, bounces, _ = _while_trace(
-        step, carry, max_iters, block)
-    status = jnp.where(status == RUNNING, SUSPENDED, status)
+    max_iters = int(scene.max_bounces)
+    if m >= _WAVES_CONTINUATION_MIN:
+        # large continuations wave-compact their own tail: after the gap
+        # resolves (a few iterations) only re-entrant lanes survive, and an
+        # uncompacted while-loop would run the full bounce tail at width m
+        # — at large N that tail costs more than the waves-accelerated main
+        # trace it follows.
+        from .trace_waves import trace_waves_from_state
+
+        res_c, _ = trace_waves_from_state(k_cont, scene, carry, cfg)
+        pos, direction, prev = (res_c.last_point, res_c.direction,
+                                res_c.seg_start)
+        status, bounces = res_c.status, res_c.n_bounces
+    else:
+        step = make_bounce_step(k_cont, scene, m, cfg)
+        block = max(1, min(int(cfg.block_iters), max_iters))
+        pos, direction, prev, status, bounces, _ = _while_trace(
+            step, carry, max_iters, block)
+        status = jnp.where(status == RUNNING, SUSPENDED, status)
 
     # scatter the continuation's outcome back over the clipped lanes
     sidx = jnp.where(valid, idx, n_rays)

@@ -12,15 +12,19 @@ Supports the production scatter law (Lambertian walls — the path every
 benchmark and the entire reference corpus uses).  Other BRDFs run on the
 XLA kernel; `trace_rays_fast` dispatches accordingly.
 
-Measured on v5e (2026-08): physics matches the XLA kernel (exit fraction
-0.4305, mean bounces 56.9) and the kernel's marginal cost is excellent
-(~35 us per 16k-lane block-iteration including 3 PRNG draws), but THIS
-environment's remote-execution transport adds ~1.05 s of fixed per-call
-dispatch overhead to pallas_call invocations (measured identical wall time
-for max_bounces=1 and max_bounces=4096), which the plain XLA kernel does
-not pay.  Until the transport caches custom kernels, `trace_rays` /
-`trace_rays_waves` remain the default production path; this kernel wins
-only for very large single calls (>~10M rays).
+Measured on v5e: physics matches the XLA kernel (exit fraction 0.4305,
+mean bounces 56.9).  Round 1 found a ~1.05 s fixed per-call dispatch tax
+on this environment's remote-execution transport; re-measured in round 2
+the tax is GONE (1-bounce call = 27-31 ms at any batch size — the
+transport now caches custom kernels) and the kernel beats the XLA paths
+outright: 0.082 s vs 0.100 s for a 1M-ray full trace (~20% faster than
+the wave tracer, ~12 vs 10 M rays/s; marginal rate ~19 M rays/s).  It is
+now the default TPU engine for Lambertian scenes via ``trace_rays_auto``
+-> ``trace_rays_fast``; exact-rim physics composes as the deferred rim
+post-pass around it (``trace_rays_rim_deferred``), so the kernel itself
+stays rim-free.  Each lane block runs to completion in VMEM — dead lanes
+idle only until THEIR block's last ray dies, a per-block early-exit the
+HBM-carry XLA loop cannot express without compaction traffic.
 
 Layout: lanes are a (SUB, 128) tile per block (SUB sublanes x 128 lanes),
 `grid = N / (SUB*128)` blocks.  Outputs match `TraceResult`.
@@ -260,6 +264,26 @@ def _model_supported(scene: SphereScene) -> bool:
             and SurfaceModel(scene.surface_model) == SurfaceModel.LAMBERTIAN)
 
 
+def _on_tpu() -> bool:
+    # the remote-TPU transport registers its PJRT plugin under its own
+    # platform name; device_kind still says what the silicon is
+    d = jax.devices()[0]
+    return d.platform == "tpu" or "TPU" in d.device_kind
+
+
+def pallas_applicable(scene: SphereScene, cfg: TraceConfig) -> bool:
+    """True when ``trace_rays_fast`` would actually take the Pallas path
+    (used by the engine dispatch in ``trace_rays_auto``)."""
+    if not (_model_supported(scene) and _on_tpu()
+            and int(cfg.keep_history) == 0 and cfg.dtype == jnp.float32):
+        return False
+    if scene.exact_rim:
+        from .trace import rim_deferred_capacity_shift
+
+        return rim_deferred_capacity_shift(scene) is not None
+    return True
+
+
 def trace_rays_pallas(
     key: jax.Array,
     scene: SphereScene,
@@ -396,7 +420,7 @@ def trace_rays_fast(
     with the deferred rim post-pass — full rim physics without any in-kernel
     cone/gap support."""
     use_pallas = (_model_supported(scene)
-                  and (interpret or jax.devices()[0].platform == "tpu")
+                  and (interpret or _on_tpu())
                   and int(cfg.keep_history) == 0
                   and cfg.dtype == jnp.float32)
     if not use_pallas:

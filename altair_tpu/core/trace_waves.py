@@ -56,21 +56,43 @@ def trace_rays_waves(
         jnp.broadcast_to(jnp.asarray(source.dir_y, dtype), shape),
         jnp.broadcast_to(jnp.asarray(source.dir_z, dtype), shape),
     ).normalized()
+    state = (pos, direction, pos, jnp.zeros(shape, jnp.int32),
+             jnp.zeros(shape, jnp.int32), jnp.zeros(shape, bool))
+    return trace_waves_from_state(key, scene, state, cfg, wave_iters,
+                                  shrink, min_wave)
+
+
+def trace_waves_from_state(
+    key: jax.Array,
+    scene: SphereScene,
+    state,
+    cfg: TraceConfig = TraceConfig(),
+    wave_iters: int = 256,
+    shrink: int = 16,
+    min_wave: int = 65536,
+) -> tuple[TraceResult, jax.Array]:
+    """Wave-compaction trace from an arbitrary mid-flight ray state
+    ``(pos, direction, prev, status, bounces, in_gap)`` (the bounce-step
+    carry).  Used directly by ``trace_rays_waves`` (source init) and by the
+    deferred-rim continuation, whose large-batch tail would otherwise run
+    uncompacted."""
+    pos, direction, prev0, status0, bounces0, in_gap0 = state
+    n_rays = pos.x.shape[0]
+    shape = (n_rays,)
 
     # output buffers (original ray order)
     out_pos = pos
     out_dir = direction
-    out_prev = pos
-    out_status = jnp.zeros(shape, jnp.int32)
-    out_bounces = jnp.zeros(shape, jnp.int32)
+    out_prev = prev0
+    out_status = status0
+    out_bounces = bounces0
 
     max_iters = int(scene.max_bounces)
     it0 = 0
     # wave over the full batch
     wkey = jax.random.fold_in(key, 0)
     step = make_bounce_step(wkey, scene, n_rays, cfg)
-    in_gap = jnp.zeros(shape, bool)
-    carry = (pos, direction, pos, out_status, out_bounces, in_gap)
+    carry = (pos, direction, prev0, status0, bounces0, in_gap0)
     iters = min(wave_iters, max_iters)
     carry = jax.lax.fori_loop(0, iters, step, carry)
     it0 += iters
@@ -217,6 +239,15 @@ def trace_rays_auto(
 
     if cfg.keep_history:
         return trace_rays(key, scene, source, n_rays, cfg)
+    # Pallas VMEM kernel first where it applies: each lane block runs to
+    # completion on-chip with no HBM carry traffic, beating both the plain
+    # while-loop and the wave tracer (~20% at 1M rays, v5e 2026-08 — the
+    # transport's old 1.05 s pallas dispatch tax is gone); exact-rim scenes
+    # compose it with the deferred rim post-pass inside trace_rays_fast.
+    from .trace_pallas import pallas_applicable, trace_rays_fast
+
+    if pallas_applicable(scene, cfg):
+        return trace_rays_fast(key, scene, source, n_rays, cfg)
     use_waves = n_rays >= waves_threshold and waves_safe(scene)
     shift = rim_deferred_capacity_shift(scene) if scene.exact_rim else None
     if shift is not None:

@@ -45,6 +45,10 @@ def _pick_tracer(scene, n_local, cfg, waves_threshold=None):
         waves_threshold = WAVES_THRESHOLD
     if cfg.keep_history:
         return _trace_plain
+    from ..core.trace_pallas import pallas_applicable, trace_rays_fast
+
+    if pallas_applicable(scene, cfg):
+        return trace_rays_fast
     use_waves = n_local >= waves_threshold and waves_safe(scene)
 
     def wave(k, sc, src, n, c):

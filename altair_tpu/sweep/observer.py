@@ -212,7 +212,7 @@ def sweep_detector_retrace(
     sub_shape = dataclasses.replace(grid, n_theta=rows_per_chunk)
     run = jax.jit(lambda key, c, n: fluxmap_retrace(
         key, scene, source, sub_shape, n_rays_per_pos, cfg,
-        pos_chunk=min(8, pos_chunk), centers_normals=(c, n)))
+        pos_chunk=min(32, pos_chunk), centers_normals=(c, n)))
 
     th = np.asarray(grid.theta_centers())
     ph = np.asarray(grid.phi_centers())

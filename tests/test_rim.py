@@ -116,6 +116,24 @@ class TestRimDeferred:
         frac = float(exit_count(res)) / 20_000
         assert abs(frac - 0.425) < 0.012, frac
 
+    def test_waves_continuation_matches_while_loop(self, monkeypatch):
+        """At production N the continuation wave-compacts its own tail;
+        forcing that path at small m must leave the physics unchanged vs
+        the plain while-loop continuation."""
+        from altair_tpu.core import trace as tr
+
+        res_w, ovf = self._defer(jax.random.key(13), SCENE, N)
+        monkeypatch.setattr(tr, "_WAVES_CONTINUATION_MIN", 256)
+        res_c, ovf_c = self._defer(jax.random.key(13), SCENE, N)
+        assert int(ovf) == 0 and int(ovf_c) == 0
+        f_w = float(exit_count(res_w)) / N
+        f_c = float(exit_count(res_c)) / N
+        # same main trace + same clip set; only the continuation engine
+        # differs (different streams there) -> tiny statistical wiggle
+        assert abs(f_w - f_c) < 0.004, (f_w, f_c)
+        st = np.asarray(res_c.status)
+        assert ((st == 1) | (st == 2)).all()
+
     def test_history_request_rejected(self):
         from altair_tpu import TraceConfig
         from altair_tpu.core.trace import trace_rays_rim_deferred
