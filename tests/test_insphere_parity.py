@@ -23,6 +23,7 @@ from altair_tpu import SCENE_INSPHERE, SOURCE_DEMO
 from altair_tpu.sweep import sweep_insphere_detector
 
 CORPUS = "/root/reference/detector_sweep2.txt"
+CORPUS1 = "/root/reference/detector_sweep.txt"   # dtheta=5, complete ±45°
 
 
 def _corpus_profile():
@@ -75,6 +76,27 @@ class TestInsphereCorpusParity:
         ts, corpus, ours = profiles
         assert ts[int(corpus.argmax())] >= -6.0
         assert ts[int(ours.argmax())] >= -6.0
+
+    def test_coarse_corpus_detector_sweep1(self):
+        """The other retained corpus, detector_sweep.txt (dtheta = 5 deg,
+        COMPLETE over ±45 deg, same scene/quantisation) — pinned on its
+        full symmetric theta-profile."""
+        rows = np.loadtxt(CORPUS1, skiprows=1)
+        th, fr = rows[:, 0], rows[:, 2]
+        corpus = {float(t): fr[th == t].mean() for t in np.unique(th)}
+        res = sweep_insphere_detector(
+            SCENE_INSPHERE, SOURCE_DEMO, disk_radius=5.0, n_rays=160_000,
+            dtheta=5.0, theta_max=45.0, dphi=15.0, seed=2, save_path=None)
+        ours = {float(t): res.fractions[res.thetas == t].mean()
+                for t in np.unique(res.thetas)}
+        ts = sorted(corpus)
+        a = np.array([corpus[t] for t in ts])
+        b = np.array([ours[t] for t in ts])
+        assert np.corrcoef(a, b)[0, 1] > 0.98, np.corrcoef(a, b)[0, 1]
+        assert abs(b.mean() / a.mean() - 1.0) < 0.10, b.mean() / a.mean()
+        diff = np.abs(a - b)
+        assert np.median(diff) < 1.2e-4 and diff.max() < 6.0e-4, (
+            np.median(diff), diff.max())
 
     def test_aimed_normal_does_not_match(self, profiles):
         """Negative control: the aim-at-port normal (what the macro's
