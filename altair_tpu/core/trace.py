@@ -452,10 +452,15 @@ def trace_rays_rim_deferred(
         # resolves (a few iterations) only re-entrant lanes survive, and an
         # uncompacted while-loop would run the full bounce tail at width m
         # — at large N that tail costs more than the waves-accelerated main
-        # trace it follows.
+        # trace it follows.  Schedule tuned for this buffer's occupancy:
+        # only ~1/2.5 of the lanes are real clips (capacity margin), so a
+        # short first wave + aggressive shrink compacts early; shrink 4
+        # keeps >=1.6x headroom even for worst-case (small-port) survival.
         from .trace_waves import trace_waves_from_state
 
-        res_c, _ = trace_waves_from_state(k_cont, scene, carry, cfg)
+        res_c, _ = trace_waves_from_state(k_cont, scene, carry, cfg,
+                                          wave_iters=96, shrink=4,
+                                          min_wave=16384)
         pos, direction, prev = (res_c.last_point, res_c.direction,
                                 res_c.seg_start)
         status, bounces = res_c.status, res_c.n_bounces

@@ -161,15 +161,20 @@ def main():
         out[k] = v
         print(f"[{k}] {v}", flush=True)
 
-    # -- trace-once total (the bench.py headline) --------------------------
+    # -- trace-once total (the bench.py headline; production engine) -------
     f = jax.jit(lambda k: fluxmap_trace_once(
-        trace_rays(k, scene, src, 100_000, cfg), grid).sum())
+        trace_rays_auto(k, scene, src, 100_000, cfg), grid).sum())
     log("traceonce_total_s", timeit(f, jax.random.key(0)))
 
-    # -- tracing phase alone ----------------------------------------------
-    f = jax.jit(lambda k: trace_rays(k, scene, src, 100_000, cfg)
+    # -- tracing phase alone (production engine dispatch) -------------------
+    f = jax.jit(lambda k: trace_rays_auto(k, scene, src, 100_000, cfg)
                 .status.sum())
     log("tracing_phase_s", timeit(f, jax.random.key(0)))
+
+    # -- XLA while-loop kernel tier, for comparison -------------------------
+    f = jax.jit(lambda k: trace_rays(k, scene, src, 100_000, cfg)
+                .status.sum())
+    log("tracing_phase_xla_s", timeit(f, jax.random.key(0)))
 
     # -- scoring phase alone (fixed traced batch) --------------------------
     res = jax.jit(lambda k: trace_rays(k, scene, src, 100_000, cfg))(
