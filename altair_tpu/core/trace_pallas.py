@@ -8,9 +8,10 @@ the TPU's native PRNG (`pltpu.prng_seed` / `prng_random_bits`), so one
 kernel invocation runs a block of rays from source to termination with zero
 intermediate HBM traffic.
 
-Supports the production scatter law (Lambertian walls — the path every
-benchmark and the entire reference corpus uses).  Other BRDFs run on the
-XLA kernel; `trace_rays_fast` dispatches accordingly.
+Supports the LAMBERTIAN, SPECULAR (roughened-normal mirror) and MIXED_BRDF
+scatter laws — the production path plus both nonLambertianFlux studies.
+COS_N_LOBE (a rejection loop) and custom callables run on the XLA kernel;
+`trace_rays_fast` dispatches accordingly.
 
 Measured on v5e: physics matches the XLA kernel (exit fraction 0.4305,
 mean bounces 56.9).  Round 1 found a ~1.05 s fixed per-call dispatch tax
@@ -90,19 +91,34 @@ def _sw_uniform(lane_h, ctr):
         jnp.float32) * _INV24
 
 
-def _lambertian_kernel(seed_ref, scene_ref, src_ref, zeros_ref, status_ref,
-                       lastx_ref, lasty_ref, lastz_ref, segx_ref, segy_ref,
-                       segz_ref, dirx_ref, diry_ref, dirz_ref, bounces_ref,
-                       *, hw_prng: bool = True):
-    """One block of rays, full bounce loop, Lambertian walls.
+# uniforms drawn per bounce (survive + the model's scatter draws)
+_N_DRAWS = {
+    SurfaceModel.LAMBERTIAN: 3,
+    SurfaceModel.SPECULAR: 4,
+    SurfaceModel.MIXED_BRDF: 7,
+}
+
+
+def _bounce_kernel(seed_ref, scene_ref, src_ref, zeros_ref, status_ref,
+                   lastx_ref, lasty_ref, lastz_ref, segx_ref, segy_ref,
+                   segz_ref, dirx_ref, diry_ref, dirz_ref, bounces_ref,
+                   *, hw_prng: bool = True,
+                   model: SurfaceModel = SurfaceModel.LAMBERTIAN):
+    """One block of rays, full bounce loop.
 
     scene_ref (SMEM, f32[8]): [inner_radius, cos_cap (= r*cos(theta_max)),
-      reflectance, world_half, exit_port_z, max_bounces, 0, 0]
+      reflectance, world_half, exit_port_z, max_bounces, m0, m1] where
+      (m0, m1) are the static model's parameters — SPECULAR: (roughness
+      sigma, 0); MIXED_BRDF: (normalised specular prob, tilt sigma =
+      brdf_roughness*pi/6).
     src_ref (SMEM, f32[8]): [x, y, z, dx, dy, dz, 0, 0]  (dir normalised)
 
     ``hw_prng``: draw from the on-chip PRNG (production TPU path) or from
     the counter-based software hash (interpret-mode testing; also runs
     compiled).  Streams differ; physics is identical.
+    ``model``: static scatter law (LAMBERTIAN / SPECULAR / MIXED_BRDF —
+    the laws of sampling.py restated in plain vector ops; COS_N_LOBE's
+    rejection loop stays on the XLA kernel).
     """
     # both key words must reach the PRNG: word 0 of jax.random.key(s) is 0
     # for every s < 2^32, so seeding from it alone would collapse all seeds.
@@ -170,41 +186,109 @@ def _lambertian_kernel(seed_ref, scene_ref, src_ref, zeros_ref, status_ref,
 
         escaped = qz < cos_cap
 
+        n_draws = _N_DRAWS[model]
         if hw_prng:
-            u = _uniform(shape)
-            u1 = _uniform(shape)
-            u2 = _uniform(shape)
+            draws = [_uniform(shape) for _ in range(n_draws)]
         else:
-            c = it.astype(jnp.uint32) * jnp.uint32(3)
-            u = _sw_uniform(lane_h, c)
-            u1 = _sw_uniform(lane_h, c + jnp.uint32(1))
-            u2 = _sw_uniform(lane_h, c + jnp.uint32(2))
-        survive = u < reflectance
+            c = it.astype(jnp.uint32) * jnp.uint32(8)  # stride 8 > any model
+            draws = [_sw_uniform(lane_h, c + jnp.uint32(i))
+                     for i in range(n_draws)]
+        survive = draws[0] < reflectance
 
-        # cosine-weighted hemisphere about the inward normal n = -q/r
+        # inward surface normal n = -q/r
         nx = -qx * (1.0 / radius)
         ny = -qy * (1.0 / radius)
         nz = -qz * (1.0 / radius)
-        ct = jnp.sqrt(u1)
-        st = jnp.sqrt(jnp.maximum(1.0 - u1, 0.0))
-        ph = 6.2831853071795864 * u2
-        # branchless ONB (Duff et al.) — matches core.geometry
-        sign = jnp.where(nz >= 0, 1.0, -1.0).astype(f32)
-        a = -1.0 / (sign + nz)
-        bb = nx * ny * a
-        t1x = 1.0 + sign * nx * nx * a
-        t1y = sign * bb
-        t1z = -sign * nx
-        t2x = bb
-        t2y = sign + ny * ny * a
-        t2z = -ny
-        cp = jnp.cos(ph)
-        sp = jnp.sin(ph)
-        ndx = st * (cp * t1x + sp * t2x) + ct * nx
-        ndy = st * (cp * t1y + sp * t2y) + ct * ny
-        ndz = st * (cp * t1z + sp * t2z) + ct * nz
-        inv = jax.lax.rsqrt(ndx * ndx + ndy * ndy + ndz * ndz)
-        ndx, ndy, ndz = ndx * inv, ndy * inv, ndz * inv
+
+        def from_local(ax, ay, az, st, ct, ph):
+            """Unit direction at polar (st, ct), azimuth ph about unit axis
+            (branchless Duff ONB — matches core.geometry/_from_local)."""
+            sign = jnp.where(az >= 0, 1.0, -1.0).astype(f32)
+            a = -1.0 / (sign + az)
+            bb = ax * ay * a
+            t1x = 1.0 + sign * ax * ax * a
+            t1y = sign * bb
+            t1z = -sign * ax
+            t2x = bb
+            t2y = sign + ay * ay * a
+            t2z = -ay
+            cp = jnp.cos(ph)
+            sp = jnp.sin(ph)
+            ox = st * (cp * t1x + sp * t2x) + ct * ax
+            oy = st * (cp * t1y + sp * t2y) + ct * ay
+            oz = st * (cp * t1z + sp * t2z) + ct * az
+            inv = jax.lax.rsqrt(ox * ox + oy * oy + oz * oz)
+            return ox * inv, oy * inv, oz * inv
+
+        def gauss(ua, ub):
+            """standard normal via Box-Muller (log(1-u) is safe: u < 1)."""
+            return (jnp.sqrt(-2.0 * jnp.log(1.0 - ua))
+                    * jnp.cos(6.2831853071795864 * ub))
+
+        if model == SurfaceModel.LAMBERTIAN:
+            # cosine-weighted hemisphere about n  (sampling.cosine_hemisphere)
+            u1, u2 = draws[1], draws[2]
+            ct = jnp.sqrt(u1)
+            st = jnp.sqrt(jnp.maximum(1.0 - u1, 0.0))
+            ndx, ndy, ndz = from_local(nx, ny, nz, st, ct,
+                                       6.2831853071795864 * u2)
+        elif model == SurfaceModel.SPECULAR:
+            # mirror about a Gaussian-roughened normal, below-horizon flip
+            # (sampling.specular_rough / rough_normal semantics)
+            sigma = scene_ref[6]
+            tilt = sigma * gauss(draws[1], draws[2])
+            nrx, nry, nrz = from_local(nx, ny, nz, jnp.sin(tilt),
+                                       jnp.cos(tilt),
+                                       6.2831853071795864 * draws[3])
+            dn = dx * nrx + dy * nry + dz * nrz
+            ndx = dx - 2.0 * dn * nrx
+            ndy = dy - 2.0 * dn * nry
+            ndz = dz - 2.0 * dn * nrz
+            below = ndx * nx + ndy * ny + ndz * nz
+            flip = jnp.where(below < 0, 2.0 * below, 0.0)
+            ndx = ndx - flip * nx
+            ndy = ndy - flip * ny
+            ndz = ndz - flip * nz
+        elif model == SurfaceModel.MIXED_BRDF:
+            # BRDF::SampleDirection (sampling.mixed_brdf): Bernoulli choice
+            # of additively-tilted specular vs cosine diffuse
+            p_spec = scene_ref[6]
+            sigma_tilt = scene_ref[7]
+            # diffuse branch
+            ct = jnp.sqrt(draws[4])
+            st = jnp.sqrt(jnp.maximum(1.0 - draws[4], 0.0))
+            ddx, ddy, ddz = from_local(nx, ny, nz, st, ct,
+                                       6.2831853071795864 * draws[5])
+            # specular branch: reflect, then additive Gaussian angular tilt
+            dn = dx * nx + dy * ny + dz * nz
+            rx = dx - 2.0 * dn * nx
+            ry = dy - 2.0 * dn * ny
+            rz = dz - 2.0 * dn * nz
+            theta = sigma_tilt * gauss(draws[2], draws[3])
+            # perpendicular pair about r (Duff ONB again)
+            sign = jnp.where(rz >= 0, 1.0, -1.0).astype(f32)
+            a = -1.0 / (sign + rz)
+            bb = rx * ry * a
+            p1x = 1.0 + sign * rx * rx * a
+            p1y = sign * bb
+            p1z = -sign * rx
+            p2x = bb
+            p2y = sign + ry * ry * a
+            p2z = -ry
+            stt = jnp.sin(theta)
+            phs = 6.2831853071795864 * draws[6]
+            cps = jnp.cos(phs)
+            sps = jnp.sin(phs)
+            sx = rx + stt * (cps * p1x + sps * p2x)
+            sy = ry + stt * (cps * p1y + sps * p2y)
+            sz = rz + stt * (cps * p1z + sps * p2z)
+            inv = jax.lax.rsqrt(sx * sx + sy * sy + sz * sz)
+            take_spec = draws[1] < p_spec
+            ndx = jnp.where(take_spec, sx * inv, ddx)
+            ndy = jnp.where(take_spec, sy * inv, ddy)
+            ndz = jnp.where(take_spec, sz * inv, ddz)
+        else:  # pragma: no cover — guarded by _model_supported
+            raise NotImplementedError(model)
 
         # escaped rays fly to the world box
         def axis_t(pc, dc):
@@ -261,7 +345,7 @@ def _lambertian_kernel(seed_ref, scene_ref, src_ref, zeros_ref, status_ref,
 
 def _model_supported(scene: SphereScene) -> bool:
     return (not callable(scene.surface_model)
-            and SurfaceModel(scene.surface_model) == SurfaceModel.LAMBERTIAN)
+            and SurfaceModel(scene.surface_model) in _N_DRAWS)
 
 
 def _on_tpu() -> bool:
@@ -309,7 +393,8 @@ def trace_rays_pallas(
     if n_rays % BLOCK:
         raise ValueError(f"n_rays must be a multiple of {BLOCK}")
     if not _model_supported(scene):
-        raise NotImplementedError("pallas kernel implements Lambertian walls")
+        raise NotImplementedError(
+            "pallas kernel implements LAMBERTIAN/SPECULAR/MIXED_BRDF walls")
     if scene.exact_rim:
         raise NotImplementedError(
             "the raw kernel traces simple-mode physics; exact-rim scenes go "
@@ -321,6 +406,18 @@ def trace_rays_pallas(
 
     seed = jax.random.key_data(key).astype(jnp.uint32).ravel()[:2]
     theta_max = jnp.deg2rad(jnp.asarray(scene.theta_max_deg, jnp.float32))
+    model = SurfaceModel(scene.surface_model)
+    if model == SurfaceModel.SPECULAR:
+        m0 = jnp.asarray(scene.roughness, jnp.float32)
+        m1 = jnp.zeros((), jnp.float32)
+    elif model == SurfaceModel.MIXED_BRDF:
+        m0 = (jnp.asarray(scene.specular_prob, jnp.float32)
+              / (jnp.asarray(scene.specular_prob, jnp.float32)
+                 + jnp.asarray(scene.diffuse_prob, jnp.float32)))
+        m1 = jnp.asarray(scene.brdf_roughness, jnp.float32) * (jnp.pi / 6.0)
+    else:
+        m0 = jnp.zeros((), jnp.float32)
+        m1 = jnp.zeros((), jnp.float32)
     scene_vec = jnp.stack([
         jnp.asarray(scene.inner_radius, jnp.float32),
         jnp.asarray(scene.inner_radius, jnp.float32) * jnp.cos(theta_max),
@@ -328,7 +425,7 @@ def trace_rays_pallas(
         jnp.asarray(scene.world_half, jnp.float32),
         jnp.asarray(scene.exit_port_z, jnp.float32),
         jnp.asarray(float(scene.max_bounces), jnp.float32),
-        jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32),
+        m0, m1,
     ])
     dnorm = jnp.sqrt(
         jnp.asarray(source.dir_x, jnp.float32) ** 2
@@ -363,7 +460,7 @@ def trace_rays_pallas(
         # plain interpret lacks TPU primitives; use the TPU interpreter
         interpret = pltpu.InterpretParams()
     outs = pl.pallas_call(
-        partial(_lambertian_kernel, hw_prng=hw_prng),
+        partial(_bounce_kernel, hw_prng=hw_prng, model=model),
         out_shape=[out_i32] + [out_f32] * 9 + [out_i32],
         grid_spec=grid_spec,
         interpret=interpret,

@@ -118,13 +118,61 @@ class TestPallasGuards:
             trace_rays_pallas(jax.random.key(0), SCENE, SOURCE_OVERNIGHT,
                               BLOCK, CFG, interpret=True, hw_prng=True)
 
-    def test_non_lambertian_falls_back_to_xla(self):
+    def test_cos_n_lobe_falls_back_to_xla(self):
         from altair_tpu.config import SurfaceModel
 
-        scene = SCENE.with_(surface_model=SurfaceModel.SPECULAR)
+        scene = SCENE.with_(surface_model=SurfaceModel.COS_N_LOBE)
         res = trace_rays_fast(jax.random.key(0), scene, SOURCE_OVERNIGHT,
                               1000, CFG, interpret=True, hw_prng=False)
         assert res.status.shape == (1000,)
+
+
+class TestPallasNonLambertian:
+    """SPECULAR and MIXED_BRDF in the kernel vs the XLA scatter laws —
+    interpret mode, identical caps, statistical agreement."""
+
+    @pytest.mark.parametrize("model_name", ["SPECULAR", "MIXED_BRDF"])
+    def test_exit_stats_match_xla(self, model_name):
+        from altair_tpu.config import SurfaceModel
+
+        scene = SCENE.with_(surface_model=SurfaceModel[model_name])
+        res_p = trace_rays_pallas(jax.random.key(4), scene, SOURCE_OVERNIGHT,
+                                  BLOCK, CFG, interpret=True, hw_prng=False)
+        res_x = trace_rays(jax.random.key(5), scene, SOURCE_OVERNIGHT,
+                           BLOCK, CFG)
+        f_p = int(exit_count(res_p)) / BLOCK
+        f_x = int(exit_count(res_x)) / BLOCK
+        sigma = np.sqrt(max(f_x, 1e-3) * (1 - min(f_x, 0.999)) / BLOCK)
+        assert abs(f_p - f_x) < 5 * sigma * np.sqrt(2), (model_name, f_p,
+                                                         f_x)
+        b_p = np.asarray(res_p.n_bounces, np.float64)
+        b_x = np.asarray(res_x.n_bounces, np.float64)
+        se = np.sqrt(b_x.var() / BLOCK) * np.sqrt(2)
+        assert abs(b_p.mean() - b_x.mean()) < 5 * se, (model_name,
+                                                       b_p.mean(),
+                                                       b_x.mean())
+
+    def test_specular_exit_direction_profile(self):
+        """A specular chamber preserves strong directionality: the exit
+        z-direction distribution must agree between kernels (moments)."""
+        from altair_tpu.config import SurfaceModel
+
+        scene = SCENE.with_(surface_model=SurfaceModel.SPECULAR)
+        res_p = trace_rays_pallas(jax.random.key(6), scene, SOURCE_OVERNIGHT,
+                                  BLOCK, CFG, interpret=True, hw_prng=False)
+        res_x = trace_rays(jax.random.key(7), scene, SOURCE_OVERNIGHT,
+                           BLOCK, CFG)
+
+        def mu(res):
+            m = np.asarray(res.exited_port_mask())
+            return np.asarray(res.direction.z)[m], int(m.sum())
+
+        dz_p, n_p = mu(res_p)
+        dz_x, n_x = mu(res_x)
+        assert n_p > 100 and n_x > 100
+        se = np.sqrt(dz_x.var() / min(n_p, n_x)) * np.sqrt(2)
+        assert abs(dz_p.mean() - dz_x.mean()) < 5 * se, (dz_p.mean(),
+                                                         dz_x.mean())
 
 
 class TestSwUniform:
