@@ -98,6 +98,100 @@ _N_DRAWS = {
     SurfaceModel.MIXED_BRDF: 7,
 }
 
+_TWO_PI = 6.2831853071795864
+
+
+def _from_local(ax, ay, az, st, ct, ph):
+    """Unit direction at polar (st, ct), azimuth ph about unit axis
+    (branchless Duff ONB — matches core.geometry/_from_local)."""
+    f32 = jnp.float32
+    sign = jnp.where(az >= 0, 1.0, -1.0).astype(f32)
+    a = -1.0 / (sign + az)
+    bb = ax * ay * a
+    t1x = 1.0 + sign * ax * ax * a
+    t1y = sign * bb
+    t1z = -sign * ax
+    t2x = bb
+    t2y = sign + ay * ay * a
+    t2z = -ay
+    cp = jnp.cos(ph)
+    sp = jnp.sin(ph)
+    ox = st * (cp * t1x + sp * t2x) + ct * ax
+    oy = st * (cp * t1y + sp * t2y) + ct * ay
+    oz = st * (cp * t1z + sp * t2z) + ct * az
+    inv = jax.lax.rsqrt(ox * ox + oy * oy + oz * oz)
+    return ox * inv, oy * inv, oz * inv
+
+
+def _gauss(ua, ub):
+    """standard normal via Box-Muller (log(1-u) is safe: u < 1)."""
+    return jnp.sqrt(-2.0 * jnp.log(1.0 - ua)) * jnp.cos(_TWO_PI * ub)
+
+
+def _scatter_dir(model, scene_ref, draws, nx, ny, nz, dx, dy, dz):
+    """The sampling.py scatter laws restated in plain vector ops.
+
+    ``draws[0]`` is the survival roulette (consumed by the caller); the
+    scatter consumes ``draws[1:]``.  Model parameters ride in
+    ``scene_ref[6:8]`` (see the kernels' docstrings).
+    """
+    f32 = jnp.float32
+    if model == SurfaceModel.LAMBERTIAN:
+        # cosine-weighted hemisphere about n  (sampling.cosine_hemisphere)
+        u1, u2 = draws[1], draws[2]
+        ct = jnp.sqrt(u1)
+        st = jnp.sqrt(jnp.maximum(1.0 - u1, 0.0))
+        return _from_local(nx, ny, nz, st, ct, _TWO_PI * u2)
+    if model == SurfaceModel.SPECULAR:
+        # mirror about a Gaussian-roughened normal, below-horizon flip
+        # (sampling.specular_rough / rough_normal semantics)
+        sigma = scene_ref[6]
+        tilt = sigma * _gauss(draws[1], draws[2])
+        nrx, nry, nrz = _from_local(nx, ny, nz, jnp.sin(tilt),
+                                    jnp.cos(tilt), _TWO_PI * draws[3])
+        dn = dx * nrx + dy * nry + dz * nrz
+        ndx = dx - 2.0 * dn * nrx
+        ndy = dy - 2.0 * dn * nry
+        ndz = dz - 2.0 * dn * nrz
+        below = ndx * nx + ndy * ny + ndz * nz
+        flip = jnp.where(below < 0, 2.0 * below, 0.0)
+        return ndx - flip * nx, ndy - flip * ny, ndz - flip * nz
+    if model == SurfaceModel.MIXED_BRDF:
+        # BRDF::SampleDirection (sampling.mixed_brdf): Bernoulli choice
+        # of additively-tilted specular vs cosine diffuse
+        p_spec = scene_ref[6]
+        sigma_tilt = scene_ref[7]
+        ct = jnp.sqrt(draws[4])
+        st = jnp.sqrt(jnp.maximum(1.0 - draws[4], 0.0))
+        ddx, ddy, ddz = _from_local(nx, ny, nz, st, ct, _TWO_PI * draws[5])
+        dn = dx * nx + dy * ny + dz * nz
+        rx = dx - 2.0 * dn * nx
+        ry = dy - 2.0 * dn * ny
+        rz = dz - 2.0 * dn * nz
+        theta = sigma_tilt * _gauss(draws[2], draws[3])
+        sign = jnp.where(rz >= 0, 1.0, -1.0).astype(f32)
+        a = -1.0 / (sign + rz)
+        bb = rx * ry * a
+        p1x = 1.0 + sign * rx * rx * a
+        p1y = sign * bb
+        p1z = -sign * rx
+        p2x = bb
+        p2y = sign + ry * ry * a
+        p2z = -ry
+        stt = jnp.sin(theta)
+        phs = _TWO_PI * draws[6]
+        cps = jnp.cos(phs)
+        sps = jnp.sin(phs)
+        sx = rx + stt * (cps * p1x + sps * p2x)
+        sy = ry + stt * (cps * p1y + sps * p2y)
+        sz = rz + stt * (cps * p1z + sps * p2z)
+        inv = jax.lax.rsqrt(sx * sx + sy * sy + sz * sz)
+        take_spec = draws[1] < p_spec
+        return (jnp.where(take_spec, sx * inv, ddx),
+                jnp.where(take_spec, sy * inv, ddy),
+                jnp.where(take_spec, sz * inv, ddz))
+    raise NotImplementedError(model)  # pragma: no cover
+
 
 def _bounce_kernel(seed_ref, scene_ref, src_ref, zeros_ref, status_ref,
                    lastx_ref, lasty_ref, lastz_ref, segx_ref, segy_ref,
@@ -199,96 +293,8 @@ def _bounce_kernel(seed_ref, scene_ref, src_ref, zeros_ref, status_ref,
         nx = -qx * (1.0 / radius)
         ny = -qy * (1.0 / radius)
         nz = -qz * (1.0 / radius)
-
-        def from_local(ax, ay, az, st, ct, ph):
-            """Unit direction at polar (st, ct), azimuth ph about unit axis
-            (branchless Duff ONB — matches core.geometry/_from_local)."""
-            sign = jnp.where(az >= 0, 1.0, -1.0).astype(f32)
-            a = -1.0 / (sign + az)
-            bb = ax * ay * a
-            t1x = 1.0 + sign * ax * ax * a
-            t1y = sign * bb
-            t1z = -sign * ax
-            t2x = bb
-            t2y = sign + ay * ay * a
-            t2z = -ay
-            cp = jnp.cos(ph)
-            sp = jnp.sin(ph)
-            ox = st * (cp * t1x + sp * t2x) + ct * ax
-            oy = st * (cp * t1y + sp * t2y) + ct * ay
-            oz = st * (cp * t1z + sp * t2z) + ct * az
-            inv = jax.lax.rsqrt(ox * ox + oy * oy + oz * oz)
-            return ox * inv, oy * inv, oz * inv
-
-        def gauss(ua, ub):
-            """standard normal via Box-Muller (log(1-u) is safe: u < 1)."""
-            return (jnp.sqrt(-2.0 * jnp.log(1.0 - ua))
-                    * jnp.cos(6.2831853071795864 * ub))
-
-        if model == SurfaceModel.LAMBERTIAN:
-            # cosine-weighted hemisphere about n  (sampling.cosine_hemisphere)
-            u1, u2 = draws[1], draws[2]
-            ct = jnp.sqrt(u1)
-            st = jnp.sqrt(jnp.maximum(1.0 - u1, 0.0))
-            ndx, ndy, ndz = from_local(nx, ny, nz, st, ct,
-                                       6.2831853071795864 * u2)
-        elif model == SurfaceModel.SPECULAR:
-            # mirror about a Gaussian-roughened normal, below-horizon flip
-            # (sampling.specular_rough / rough_normal semantics)
-            sigma = scene_ref[6]
-            tilt = sigma * gauss(draws[1], draws[2])
-            nrx, nry, nrz = from_local(nx, ny, nz, jnp.sin(tilt),
-                                       jnp.cos(tilt),
-                                       6.2831853071795864 * draws[3])
-            dn = dx * nrx + dy * nry + dz * nrz
-            ndx = dx - 2.0 * dn * nrx
-            ndy = dy - 2.0 * dn * nry
-            ndz = dz - 2.0 * dn * nrz
-            below = ndx * nx + ndy * ny + ndz * nz
-            flip = jnp.where(below < 0, 2.0 * below, 0.0)
-            ndx = ndx - flip * nx
-            ndy = ndy - flip * ny
-            ndz = ndz - flip * nz
-        elif model == SurfaceModel.MIXED_BRDF:
-            # BRDF::SampleDirection (sampling.mixed_brdf): Bernoulli choice
-            # of additively-tilted specular vs cosine diffuse
-            p_spec = scene_ref[6]
-            sigma_tilt = scene_ref[7]
-            # diffuse branch
-            ct = jnp.sqrt(draws[4])
-            st = jnp.sqrt(jnp.maximum(1.0 - draws[4], 0.0))
-            ddx, ddy, ddz = from_local(nx, ny, nz, st, ct,
-                                       6.2831853071795864 * draws[5])
-            # specular branch: reflect, then additive Gaussian angular tilt
-            dn = dx * nx + dy * ny + dz * nz
-            rx = dx - 2.0 * dn * nx
-            ry = dy - 2.0 * dn * ny
-            rz = dz - 2.0 * dn * nz
-            theta = sigma_tilt * gauss(draws[2], draws[3])
-            # perpendicular pair about r (Duff ONB again)
-            sign = jnp.where(rz >= 0, 1.0, -1.0).astype(f32)
-            a = -1.0 / (sign + rz)
-            bb = rx * ry * a
-            p1x = 1.0 + sign * rx * rx * a
-            p1y = sign * bb
-            p1z = -sign * rx
-            p2x = bb
-            p2y = sign + ry * ry * a
-            p2z = -ry
-            stt = jnp.sin(theta)
-            phs = 6.2831853071795864 * draws[6]
-            cps = jnp.cos(phs)
-            sps = jnp.sin(phs)
-            sx = rx + stt * (cps * p1x + sps * p2x)
-            sy = ry + stt * (cps * p1y + sps * p2y)
-            sz = rz + stt * (cps * p1z + sps * p2z)
-            inv = jax.lax.rsqrt(sx * sx + sy * sy + sz * sz)
-            take_spec = draws[1] < p_spec
-            ndx = jnp.where(take_spec, sx * inv, ddx)
-            ndy = jnp.where(take_spec, sy * inv, ddy)
-            ndz = jnp.where(take_spec, sz * inv, ddz)
-        else:  # pragma: no cover — guarded by _model_supported
-            raise NotImplementedError(model)
+        ndx, ndy, ndz = _scatter_dir(model, scene_ref, draws,
+                                     nx, ny, nz, dx, dy, dz)
 
         # escaped rays fly to the world box
         def axis_t(pc, dc):
@@ -341,6 +347,165 @@ def _bounce_kernel(seed_ref, scene_ref, src_ref, zeros_ref, status_ref,
     diry_ref[:] = dy
     dirz_ref[:] = dz
     bounces_ref[:] = bounces
+
+
+def _refill_kernel(seed_ref, scene_ref, src_ref, zeros_ref,
+                   status_ref, ex_ref, ey_ref, ez_ref, sx_ref, sy_ref,
+                   sz_ref, dxo_ref, dyo_ref, dzo_ref, bounces_ref,
+                   *, hw_prng: bool = True,
+                   model: SurfaceModel = SurfaceModel.LAMBERTIAN,
+                   budget: int = 8):
+    """Ray-REFILL bounce loop: every lane traces ``budget`` rays
+    back-to-back, respawning from the source the moment its current ray
+    dies.
+
+    The plain block kernel idles a dead lane until the whole block's last
+    ray dies — duty cycle ~ mean/max of the bounce-count distribution
+    ≈ (1/p) / (ln(BLOCK)/p) ≈ 10%.  With refill the idle tail is paid once
+    per ``budget`` rays instead of once per ray: duty ≈ B·E[bounces] /
+    (B·E[bounces] + tail) ≈ 42% at B = 8.  Completed rays land in per-slot
+    output planes (slot j = rows [j·SUB, (j+1)·SUB) of each output ref),
+    written by a masked select per slot per iteration — the only extra
+    per-iteration cost.
+
+    Outputs per slot match TraceResult semantics: status, last point (world
+    box for exits, shell point for kills), segment start (the cap/wall
+    crossing — what the rim post-pass and every scorer consume), direction,
+    bounce count.
+    """
+    if hw_prng:
+        pltpu.prng_seed(seed_ref[0] ^ seed_ref[1], pl.program_id(0))
+        lane_h = None
+    else:
+        seed32 = jax.lax.bitcast_convert_type(seed_ref[0] ^ seed_ref[1],
+                                              jnp.uint32)
+        lane = (jax.lax.broadcasted_iota(jnp.uint32, (SUB, 128), 0)
+                * jnp.uint32(128)
+                + jax.lax.broadcasted_iota(jnp.uint32, (SUB, 128), 1)
+                + pl.program_id(0).astype(jnp.uint32)
+                * jnp.uint32(BLOCK))
+        lane_h = _fmix32(lane ^ seed32)
+
+    radius = scene_ref[0]
+    cos_cap = scene_ref[1]
+    reflectance = scene_ref[2]
+    world_half = scene_ref[3]
+    max_bounces = scene_ref[5].astype(jnp.int32)
+
+    shape = (SUB, 128)
+    zt = zeros_ref[:]
+    zi = zt.astype(jnp.int32)
+
+    sx0, sy0, sz0 = src_ref[0], src_ref[1], src_ref[2]
+    dx0, dy0, dz0 = src_ref[3], src_ref[4], src_ref[5]
+
+    px = sx0 + zt
+    py = sy0 + zt
+    pz = sz0 + zt
+    dx = dx0 + zt
+    dy = dy0 + zt
+    dz = dz0 + zt
+    ray_idx = zi
+    rbounces = zi
+    # per-slot result planes (live in VMEM for the whole loop);
+    # fields 0 (status) and 10 (bounces) are i32, the rest f32
+    planes = [[zi if k in (0, 10) else zt for k in range(11)]
+              for _ in range(budget)]
+
+    n_draws = _N_DRAWS[model]
+
+    def bounce(carry):
+        it, px, py, pz, dx, dy, dz, ray_idx, rbounces, planes = carry
+        active = ray_idx < budget
+
+        b = px * dx + py * dy + pz * dz
+        c = px * px + py * py + pz * pz - radius * radius
+        disc = jnp.maximum(b * b - c, 0.0)
+        t = jnp.maximum(-b + jnp.sqrt(disc), 0.0)
+        qx = px + dx * t
+        qy = py + dy * t
+        qz = pz + dz * t
+        rn = radius * jax.lax.rsqrt(qx * qx + qy * qy + qz * qz)
+        qx, qy, qz = qx * rn, qy * rn, qz * rn
+        escaped = qz < cos_cap
+
+        if hw_prng:
+            draws = [_uniform(shape) for _ in range(n_draws)]
+        else:
+            cc = it.astype(jnp.uint32) * jnp.uint32(8)
+            draws = [_sw_uniform(lane_h, cc + jnp.uint32(i))
+                     for i in range(n_draws)]
+        survive = draws[0] < reflectance
+
+        nx = -qx * (1.0 / radius)
+        ny = -qy * (1.0 / radius)
+        nz = -qz * (1.0 / radius)
+        ndx, ndy, ndz = _scatter_dir(model, scene_ref, draws,
+                                     nx, ny, nz, dx, dy, dz)
+
+        def axis_t(pc, dc):
+            face = jnp.where(dc >= 0, world_half, -world_half)
+            return jnp.where(dc == 0, jnp.inf, (face - pc) / dc)
+
+        tb = jnp.minimum(axis_t(px, dx),
+                         jnp.minimum(axis_t(py, dy), axis_t(pz, dz)))
+        bx = px + dx * tb
+        by = py + dy * tb
+        bz = pz + dz * tb
+
+        done_exit = active & escaped
+        done_abs = active & ~escaped & ~survive
+        done_susp = (active & ~escaped & survive
+                     & (rbounces + 1 >= max_bounces))
+        done = done_exit | done_abs | done_susp
+
+        res = [
+            jnp.where(done_exit, EXITED,
+                      jnp.where(done_abs, ABSORBED, SUSPENDED)
+                      ).astype(jnp.int32),                       # status
+            jnp.where(done_exit, bx, qx),                        # last E
+            jnp.where(done_exit, by, qy),
+            jnp.where(done_exit, bz, qz),
+            qx, qy, qz,                                          # seg S
+            dx, dy, dz,                                          # direction
+            jnp.where(done_exit, rbounces, rbounces + 1),        # bounces
+        ]
+        for j in range(budget):
+            w = done & (ray_idx == j)
+            planes[j] = [jnp.where(w, r, p) for r, p in zip(res, planes[j])]
+
+        cont = active & ~done  # wall bounce, ray continues
+        px = jnp.where(done, sx0, jnp.where(cont, qx, px))
+        py = jnp.where(done, sy0, jnp.where(cont, qy, py))
+        pz = jnp.where(done, sz0, jnp.where(cont, qz, pz))
+        dx = jnp.where(done, dx0, jnp.where(cont, ndx, dx))
+        dy = jnp.where(done, dy0, jnp.where(cont, ndy, dy))
+        dz = jnp.where(done, dz0, jnp.where(cont, ndz, dz))
+        rbounces = jnp.where(done, 0,
+                             jnp.where(cont, rbounces + 1, rbounces))
+        ray_idx = ray_idx + done.astype(jnp.int32)
+        return it + 1, px, py, pz, dx, dy, dz, ray_idx, rbounces, planes
+
+    def cond(carry):
+        # carry[0] = iteration counter, carry[7] = per-lane ray index
+        return (carry[0] < max_bounces * budget) & jnp.any(
+            carry[7] < budget)
+
+    def body(carry):
+        return jax.lax.fori_loop(0, INNER_ITERS, lambda j, c: bounce(c),
+                                 carry)
+
+    init = (jnp.zeros((), jnp.int32), px, py, pz, dx, dy, dz, ray_idx,
+            rbounces, planes)
+    out = jax.lax.while_loop(cond, body, init)
+    planes = out[9]
+
+    refs = [status_ref, ex_ref, ey_ref, ez_ref, sx_ref, sy_ref, sz_ref,
+            dxo_ref, dyo_ref, dzo_ref, bounces_ref]
+    for j in range(budget):
+        sl = pl.ds(j * SUB, SUB)
+        for ref, plane in zip(refs, planes[j]):
+            ref[sl, :] = plane
 
 
 def _model_supported(scene: SphereScene) -> bool:
@@ -404,42 +569,8 @@ def trace_rays_pallas(
                          "pass hw_prng=False")
     n_blocks = n_rays // BLOCK
 
-    seed = jax.random.key_data(key).astype(jnp.uint32).ravel()[:2]
-    theta_max = jnp.deg2rad(jnp.asarray(scene.theta_max_deg, jnp.float32))
+    seed, scene_vec, src_vec = _kernel_operands(key, scene, source)
     model = SurfaceModel(scene.surface_model)
-    if model == SurfaceModel.SPECULAR:
-        m0 = jnp.asarray(scene.roughness, jnp.float32)
-        m1 = jnp.zeros((), jnp.float32)
-    elif model == SurfaceModel.MIXED_BRDF:
-        m0 = (jnp.asarray(scene.specular_prob, jnp.float32)
-              / (jnp.asarray(scene.specular_prob, jnp.float32)
-                 + jnp.asarray(scene.diffuse_prob, jnp.float32)))
-        m1 = jnp.asarray(scene.brdf_roughness, jnp.float32) * (jnp.pi / 6.0)
-    else:
-        m0 = jnp.zeros((), jnp.float32)
-        m1 = jnp.zeros((), jnp.float32)
-    scene_vec = jnp.stack([
-        jnp.asarray(scene.inner_radius, jnp.float32),
-        jnp.asarray(scene.inner_radius, jnp.float32) * jnp.cos(theta_max),
-        jnp.asarray(scene.reflectance, jnp.float32),
-        jnp.asarray(scene.world_half, jnp.float32),
-        jnp.asarray(scene.exit_port_z, jnp.float32),
-        jnp.asarray(float(scene.max_bounces), jnp.float32),
-        m0, m1,
-    ])
-    dnorm = jnp.sqrt(
-        jnp.asarray(source.dir_x, jnp.float32) ** 2
-        + jnp.asarray(source.dir_y, jnp.float32) ** 2
-        + jnp.asarray(source.dir_z, jnp.float32) ** 2)
-    src_vec = jnp.stack([
-        jnp.asarray(source.x, jnp.float32),
-        jnp.asarray(source.y, jnp.float32),
-        jnp.asarray(source.z, jnp.float32),
-        jnp.asarray(source.dir_x, jnp.float32) / dnorm,
-        jnp.asarray(source.dir_y, jnp.float32) / dnorm,
-        jnp.asarray(source.dir_z, jnp.float32) / dnorm,
-        jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32),
-    ])
 
     out_f32 = jax.ShapeDtypeStruct((n_blocks * SUB, 128), jnp.float32)
     out_i32 = jax.ShapeDtypeStruct((n_blocks * SUB, 128), jnp.int32)
@@ -477,6 +608,128 @@ def trace_rays_pallas(
         last_point=Vec3(flat(lastx), flat(lasty), flat(lastz)),
         seg_start=Vec3(flat(segx), flat(segy), flat(segz)),
         direction=Vec3(flat(dirx), flat(diry), flat(dirz)),
+        n_bounces=flat(bounces),
+    )
+
+
+def _kernel_operands(key, scene: SphereScene, source: Source):
+    """(seed[2] u32, scene_vec f32[8], src_vec f32[8]) scalar-prefetch
+    operands shared by both kernels."""
+    seed = jax.random.key_data(key).astype(jnp.uint32).ravel()[:2]
+    theta_max = jnp.deg2rad(jnp.asarray(scene.theta_max_deg, jnp.float32))
+    model = SurfaceModel(scene.surface_model)
+    if model == SurfaceModel.SPECULAR:
+        m0 = jnp.asarray(scene.roughness, jnp.float32)
+        m1 = jnp.zeros((), jnp.float32)
+    elif model == SurfaceModel.MIXED_BRDF:
+        m0 = (jnp.asarray(scene.specular_prob, jnp.float32)
+              / (jnp.asarray(scene.specular_prob, jnp.float32)
+                 + jnp.asarray(scene.diffuse_prob, jnp.float32)))
+        m1 = jnp.asarray(scene.brdf_roughness, jnp.float32) * (jnp.pi / 6.0)
+    else:
+        m0 = jnp.zeros((), jnp.float32)
+        m1 = jnp.zeros((), jnp.float32)
+    scene_vec = jnp.stack([
+        jnp.asarray(scene.inner_radius, jnp.float32),
+        jnp.asarray(scene.inner_radius, jnp.float32) * jnp.cos(theta_max),
+        jnp.asarray(scene.reflectance, jnp.float32),
+        jnp.asarray(scene.world_half, jnp.float32),
+        jnp.asarray(scene.exit_port_z, jnp.float32),
+        jnp.asarray(float(scene.max_bounces), jnp.float32),
+        m0, m1,
+    ])
+    dnorm = jnp.sqrt(
+        jnp.asarray(source.dir_x, jnp.float32) ** 2
+        + jnp.asarray(source.dir_y, jnp.float32) ** 2
+        + jnp.asarray(source.dir_z, jnp.float32) ** 2)
+    src_vec = jnp.stack([
+        jnp.asarray(source.x, jnp.float32),
+        jnp.asarray(source.y, jnp.float32),
+        jnp.asarray(source.z, jnp.float32),
+        jnp.asarray(source.dir_x, jnp.float32) / dnorm,
+        jnp.asarray(source.dir_y, jnp.float32) / dnorm,
+        jnp.asarray(source.dir_z, jnp.float32) / dnorm,
+        jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32),
+    ])
+    return seed, scene_vec, src_vec
+
+
+def trace_rays_refill(
+    key: jax.Array,
+    scene: SphereScene,
+    source: Source,
+    n_rays: int,
+    cfg: TraceConfig = TraceConfig(),
+    rays_per_lane: int = 8,
+    interpret: bool = False,
+    hw_prng: bool = True,
+) -> TraceResult:
+    """Refill-kernel trace: ``n_rays`` must be a multiple of
+    BLOCK * rays_per_lane (``trace_rays_fast`` pads/truncates).  Same
+    TraceResult contract as ``trace_rays`` with one nuance: for exited rays
+    ``seg_start`` is the port-cap crossing point (on the escape line, as
+    every scorer and the rim post-pass require) rather than the wall point.
+    """
+    chunk = BLOCK * rays_per_lane
+    if n_rays % chunk:
+        raise ValueError(f"n_rays must be a multiple of {chunk}")
+    if not _model_supported(scene):
+        raise NotImplementedError(
+            "pallas kernel implements LAMBERTIAN/SPECULAR/MIXED_BRDF walls")
+    if scene.exact_rim:
+        raise NotImplementedError(
+            "the raw kernel traces simple-mode physics; exact-rim scenes go "
+            "through trace_rays_fast (deferred rim post-pass)")
+    if interpret and hw_prng:
+        raise ValueError("the Pallas interpreter has no hardware PRNG — "
+                         "pass hw_prng=False")
+    n_blocks = n_rays // chunk
+
+    seed, scene_vec, src_vec = _kernel_operands(key, scene, source)
+    rows = n_blocks * rays_per_lane * SUB
+    out_f32 = jax.ShapeDtypeStruct((rows, 128), jnp.float32)
+    out_i32 = jax.ShapeDtypeStruct((rows, 128), jnp.int32)
+    block_spec = pl.BlockSpec((rays_per_lane * SUB, 128),
+                              lambda i, *prefetch: (i, 0),
+                              memory_space=pltpu.VMEM)
+    zeros_spec = pl.BlockSpec((SUB, 128), lambda i, *prefetch: (0, 0),
+                              memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(n_blocks,),
+        in_specs=[zeros_spec],
+        out_specs=[block_spec] * 11,
+    )
+    if interpret is True:
+        interpret = pltpu.InterpretParams()
+    # the per-slot result planes live in the loop carry: 11 fields x budget
+    # x (SUB, 128) x 4 B plus double-buffered outputs — beyond the
+    # compiler's default 16 MiB scoped-VMEM cap at budget >= 4, but well
+    # inside the chip's physical VMEM; raise the cap explicitly
+    vmem_bytes = min(100 * 1024 * 1024,
+                     (11 * rays_per_lane * 3 + 64) * SUB * 128 * 4)
+    outs = pl.pallas_call(
+        partial(_refill_kernel, hw_prng=hw_prng,
+                model=SurfaceModel(scene.surface_model),
+                budget=rays_per_lane),
+        out_shape=[out_i32] + [out_f32] * 9 + [out_i32],
+        grid_spec=grid_spec,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_bytes),
+    )(seed, scene_vec, src_vec, jnp.zeros((SUB, 128), jnp.float32))
+
+    (status, ex, ey, ez, sx, sy, sz, dxo, dyo, dzo, bounces) = outs
+
+    def flat(a):
+        return a.reshape(n_rays)
+
+    # slots the safety iteration cap left unwritten read as RUNNING
+    status = jnp.where(flat(status) == RUNNING, SUSPENDED, flat(status))
+    return TraceResult(
+        status=status,
+        last_point=Vec3(flat(ex), flat(ey), flat(ez)),
+        seg_start=Vec3(flat(sx), flat(sy), flat(sz)),
+        direction=Vec3(flat(dxo), flat(dyo), flat(dzo)),
         n_bounces=flat(bounces),
     )
 

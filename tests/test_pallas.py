@@ -175,6 +175,53 @@ class TestPallasNonLambertian:
                                                          dz_x.mean())
 
 
+class TestRefillKernel:
+    """The ray-refill kernel (budget rays per lane, respawn on death) —
+    physics vs the XLA kernel in interpret mode."""
+
+    @pytest.fixture(scope="class")
+    def refill_result(self):
+        from altair_tpu.core.trace_pallas import trace_rays_refill
+
+        return trace_rays_refill(jax.random.key(0), SCENE, SOURCE_OVERNIGHT,
+                                 BLOCK * 2, CFG, rays_per_lane=2,
+                                 interpret=True, hw_prng=False)
+
+    def test_exit_fraction_matches_xla(self, refill_result):
+        n = BLOCK * 2
+        f_r = int(exit_count(refill_result)) / n
+        ref = trace_rays(jax.random.key(1), SCENE, SOURCE_OVERNIGHT, n, CFG)
+        f_x = int(exit_count(ref)) / n
+        sigma = np.sqrt(f_x * (1 - f_x) / n) * np.sqrt(2)
+        assert abs(f_r - f_x) < 4 * sigma, (f_r, f_x)
+
+    def test_per_slot_results_are_complete(self, refill_result):
+        st = np.asarray(refill_result.status)
+        assert ((st == 1) | (st == 2) | (st == 3)).all()  # every slot filled
+        # both slots of each lane produced real rays: slot-wise exit
+        # fractions agree (iid respawns)
+        f0 = (st[:BLOCK] == 1).mean()
+        f1 = (st[BLOCK:] == 1).mean()
+        assert abs(f0 - f1) < 4 * np.sqrt(0.3 * 0.7 / BLOCK) * np.sqrt(2)
+
+    def test_segment_contract(self, refill_result):
+        """seg_start sits on the shell (the cap/wall crossing) and exits'
+        last points lie beyond the port plane."""
+        st = np.asarray(refill_result.status)
+        s = np.asarray(refill_result.seg_start.stack())
+        r = np.linalg.norm(s, axis=1)
+        np.testing.assert_allclose(r, 100.1, atol=1e-2)
+        z = np.asarray(refill_result.last_point.z)
+        assert (z[st == 1] < -100.0).all()
+
+    def test_block_multiple_guard(self):
+        from altair_tpu.core.trace_pallas import trace_rays_refill
+
+        with pytest.raises(ValueError):
+            trace_rays_refill(jax.random.key(0), SCENE, SOURCE_OVERNIGHT,
+                              BLOCK * 2 + 1, CFG, rays_per_lane=2)
+
+
 class TestSwUniform:
     def test_distribution_moments(self):
         """The counter-based hash must be a credible U[0,1): moments and
