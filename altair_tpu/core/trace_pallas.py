@@ -706,8 +706,7 @@ def trace_rays_refill(
     # x (SUB, 128) x 4 B plus double-buffered outputs — beyond the
     # compiler's default 16 MiB scoped-VMEM cap at budget >= 4, but well
     # inside the chip's physical VMEM; raise the cap explicitly
-    vmem_bytes = min(100 * 1024 * 1024,
-                     (11 * rays_per_lane * 3 + 64) * SUB * 128 * 4)
+    vmem_bytes = 96 * 1024 * 1024
     outs = pl.pallas_call(
         partial(_refill_kernel, hw_prng=hw_prng,
                 model=SurfaceModel(scene.surface_model),
@@ -734,12 +733,28 @@ def trace_rays_refill(
     )
 
 
+# batches at least this big route to the refill kernel (B=4 measured +19%
+# over the plain block kernel at 4M rays on v5e; below this the padding
+# granularity of BLOCK*4 and the fixed dispatch cost dominate)
+REFILL_MIN = 1 << 20
+_REFILL_BUDGET = 4
+
+
 def _pallas_padded(key, scene, source, n_rays, cfg,
                    interpret=False, hw_prng=True) -> TraceResult:
-    """Pad the batch up to a BLOCK multiple, trace, truncate."""
-    padded = -(-n_rays // BLOCK) * BLOCK
-    res = trace_rays_pallas(key, scene, source, padded, cfg,
-                            interpret=interpret, hw_prng=hw_prng)
+    """Pad the batch up to the engine's granularity, trace, truncate.
+    Dispatches the refill kernel for large batches, the plain block kernel
+    otherwise."""
+    if n_rays >= REFILL_MIN:
+        chunk = BLOCK * _REFILL_BUDGET
+        padded = -(-n_rays // chunk) * chunk
+        res = trace_rays_refill(key, scene, source, padded, cfg,
+                                rays_per_lane=_REFILL_BUDGET,
+                                interpret=interpret, hw_prng=hw_prng)
+    else:
+        padded = -(-n_rays // BLOCK) * BLOCK
+        res = trace_rays_pallas(key, scene, source, padded, cfg,
+                                interpret=interpret, hw_prng=hw_prng)
     if padded == n_rays:
         return res
     sl = lambda a: a[:n_rays]
