@@ -189,6 +189,15 @@ class TraceConfig:
     ``SetLimit`` / suspend guard, ``fluxAtObserverOptimize.C:271-273``);
     `block_iters` controls how many bounce iterations run between alive-count
     checks of the ``while_loop`` (amortises the host-visible reduction).
+
+    `engine` selects the trace engine used by ``trace_rays_auto``:
+
+    * ``"auto"``   — closed-form direct sampling for statically-Lambertian
+      scenes (distribution-exact, see ``core/trace_direct.py``), simulation
+      kernels otherwise;
+    * ``"simulate"`` — always simulate the bounce chain (Pallas VMEM kernel
+      on TPU, XLA while-loop/waves elsewhere);
+    * ``"direct"`` — require the direct sampler (error if inapplicable).
     """
 
     dtype: Any = jnp.float32
@@ -197,10 +206,11 @@ class TraceConfig:
                                      # is the counter-based reproducible
                                      # default (used via make_key())
     keep_history: int = 0            # >0: record up to N path points (viz only)
+    engine: str = "auto"             # "auto" | "simulate" | "direct"
 
 
 _register(TraceConfig, data_fields=[], meta_fields=[
-    "dtype", "block_iters", "rng_impl", "keep_history",
+    "dtype", "block_iters", "rng_impl", "keep_history", "engine",
 ])
 
 

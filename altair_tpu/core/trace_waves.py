@@ -225,6 +225,10 @@ def trace_rays_auto(
     """Engine dispatch. Composable fast paths, each with a provably-safe
     guard, falling back to the plain while-loop kernel:
 
+    * statically-Lambertian scenes sample the trace outcome DIRECTLY from
+      its closed-form law (``trace_rays_direct`` — the integrating-sphere
+      uniform-form-factor identity makes this distribution-exact, no
+      bounce loop at all); ``cfg.engine="simulate"`` opts out;
     * exact-rim scenes route through the rim-DEFERRED tracer (rim physics
       once per ray instead of once per lane-iteration; ~simple-mode cost);
     * large batches run the wave-compaction tracer (2-3x at >=1M rays on
@@ -238,7 +242,27 @@ def trace_rays_auto(
     )
 
     if cfg.keep_history:
+        if cfg.engine == "direct":
+            raise ValueError("direct sampling has no path history")
         return trace_rays(key, scene, source, n_rays, cfg)
+
+    from .trace_direct import direct_applicable, trace_rays_direct
+
+    if cfg.engine in ("auto", "direct") and direct_applicable(scene, cfg):
+        if not scene.exact_rim:
+            return trace_rays_direct(key, scene, source, n_rays, cfg)
+        shift = rim_deferred_capacity_shift(scene)
+        if shift is not None:
+            res, _ = trace_rays_rim_deferred(
+                key, scene, source, n_rays, cfg, capacity_shift=shift,
+                main_tracer=trace_rays_direct)
+            return res
+        # thick-rim / traced-parameter scenes need the in-loop rim kernel
+        # for the main phase — fall through to the simulation engines
+    if cfg.engine == "direct":
+        raise NotImplementedError(
+            "engine='direct' requires a statically-Lambertian scene whose "
+            "rim (if exact_rim) admits the deferred post-pass")
     # Pallas VMEM kernel first where it applies: each lane block runs to
     # completion on-chip with no HBM carry traffic, beating both the plain
     # while-loop and the wave tracer (~20% at 1M rays, v5e 2026-08 — the

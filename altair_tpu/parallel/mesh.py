@@ -45,6 +45,20 @@ def _pick_tracer(scene, n_local, cfg, waves_threshold=None):
         waves_threshold = WAVES_THRESHOLD
     if cfg.keep_history:
         return _trace_plain
+    from ..core.trace_direct import direct_applicable, trace_rays_direct
+
+    if cfg.engine in ("auto", "direct") and direct_applicable(scene, cfg):
+        if not scene.exact_rim:
+            return trace_rays_direct
+        shift = rim_deferred_capacity_shift(scene)
+        if shift is not None:
+            def rim_direct(k, sc, src, n, c):
+                return trace_rays_rim_deferred(k, sc, src, n, c,
+                                               capacity_shift=shift,
+                                               main_tracer=trace_rays_direct
+                                               )[0]
+
+            return rim_direct
     from ..core.trace_pallas import pallas_applicable, trace_rays_fast
 
     if pallas_applicable(scene, cfg):

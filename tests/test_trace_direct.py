@@ -1,0 +1,178 @@
+"""Direct-sampling engine (core/trace_direct.py) — equivalence with the
+simulation kernels.
+
+The engine claims distribution-EXACTNESS (the integrating-sphere uniform
+form-factor identity, see the module docstring), so the tests here are the
+strongest statistical checks in the suite: KS two-sample tests against the
+XLA while-loop kernel with thresholds calibrated against the sim-vs-sim
+null, closed-form invariants, and full flux-map agreement through the
+trace-once scorer.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from altair_tpu.config import (
+    SCENE_OPTIMIZE,
+    SOURCE_OVERNIGHT,
+    DetectorGrid,
+    SurfaceModel,
+    TraceConfig,
+    expected_exit_fraction,
+)
+from altair_tpu.core.trace import ABSORBED, EXITED, SUSPENDED, trace_rays
+from altair_tpu.core.trace_direct import direct_applicable, trace_rays_direct
+from altair_tpu.core.trace_waves import trace_rays_auto
+
+SCENE = SCENE_OPTIMIZE.with_(max_bounces=4096, exact_rim=False)
+CFG = TraceConfig()
+N = 60_000
+
+
+@pytest.fixture(scope="module")
+def results():
+    rd = trace_rays_direct(jax.random.key(1), SCENE, SOURCE_OVERNIGHT, N, CFG)
+    rs = trace_rays(jax.random.key(2), SCENE, SOURCE_OVERNIGHT, N, CFG)
+    return jax.tree.map(np.asarray, (rd, rs))
+
+
+def test_exit_fraction_matches_closed_form_and_sim(results):
+    rd, rs = results
+    fd = rd.exited_port_mask().mean()
+    fs = rs.exited_port_mask().mean()
+    sem = np.sqrt(0.43 * 0.57 / N)
+    # no-rim closed form overshoots the rim-physics corpus but must match
+    # the no-rim kernels
+    assert abs(fd - expected_exit_fraction(SCENE.theta_max_deg,
+                                           SCENE.reflectance)) < 4 * sem
+    assert abs(fd - fs) < 5 * sem
+
+
+def test_status_and_contract(results):
+    rd, _ = results
+    assert set(np.unique(rd.status)) <= {EXITED, ABSORBED, SUSPENDED}
+    # directions unit-norm
+    dn = rd.direction.x**2 + rd.direction.y**2 + rd.direction.z**2
+    np.testing.assert_allclose(dn, 1.0, atol=1e-5)
+    # exited lanes terminate on the world box surface
+    m = rd.status == EXITED
+    mx = np.maximum(np.abs(rd.last_point.x),
+                    np.maximum(np.abs(rd.last_point.y),
+                               np.abs(rd.last_point.z)))
+    np.testing.assert_allclose(mx[m], float(SCENE.world_half), rtol=1e-5)
+    # absorbed lanes die on the shell
+    r = np.sqrt(rd.last_point.x**2 + rd.last_point.y**2 + rd.last_point.z**2)
+    a = rd.status == ABSORBED
+    np.testing.assert_allclose(r[a], float(SCENE.inner_radius), rtol=1e-5)
+
+
+@pytest.mark.parametrize("field", ["dir_z", "seg_z", "bounces", "exit_x"])
+def test_ks_equivalence(results, field):
+    """KS distance direct-vs-sim must sit at the sim-vs-sim null scale.
+
+    Null calibration (200k rays, seeds 2/5): D ≈ 0.004-0.006 on every
+    field; threshold 2x the null at this N (KS D scales as 1/sqrt(n))."""
+    rd, rs = results
+
+    def get(r):
+        m = r.exited_port_mask()
+        if field == "dir_z":
+            return r.direction.z[m]
+        if field == "seg_z":
+            return r.seg_start.z[m]
+        if field == "exit_x":
+            return r.last_point.x[m]
+        return r.n_bounces
+
+    from scipy.stats import ks_2samp
+
+    d = ks_2samp(get(rd), get(rs))
+    assert d.statistic < 2.5 * 0.006 * np.sqrt(200_000 / N), (
+        f"{field}: D={d.statistic:.5f} p={d.pvalue:.4f}")
+
+
+def test_bounce_mean_closed_form(results):
+    """E[bounces] = 1 + s/(1-s) + P(absorb-late): dominated by the geometric
+    round count; check against the simulator within MC error."""
+    rd, rs = results
+    assert abs(rd.n_bounces.mean() - rs.n_bounces.mean()) < 1.5
+
+
+def test_fluxmap_agrees_through_scorer(results):
+    from altair_tpu.core.score import fluxmap_trace_once
+
+    rd, rs = results
+    grid = DetectorGrid(n_theta=45, n_phi=30)
+    md = np.asarray(fluxmap_trace_once(jax.tree.map(jnp.asarray, rd), grid))
+    ms = np.asarray(fluxmap_trace_once(jax.tree.map(jnp.asarray, rs), grid))
+    assert np.corrcoef(md.ravel(), ms.ravel())[0, 1] > 0.995
+    # total-hit noise is dominated by per-ray hit multiplicity (~21
+    # positions per exit ray), so the sem of the SUM is ~1.7% at N=60k
+    assert abs(md.sum() - ms.sum()) / ms.sum() < 0.05
+
+
+def test_first_flight_escape():
+    """A source aimed straight down the port exits on the first flight with
+    the deterministic segment."""
+    src = SOURCE_OVERNIGHT.with_(x=0.0, y=0.0, z=0.0, dir_x=0.0, dir_y=0.0,
+                                 dir_z=-1.0)
+    r = trace_rays_direct(jax.random.key(0), SCENE, src, 64, CFG)
+    assert bool((r.status == EXITED).all())
+    assert bool((r.n_bounces == 0).all())
+    np.testing.assert_allclose(np.asarray(r.last_point.z),
+                               -float(SCENE.world_half), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(r.seg_start.z), 0.0, atol=1e-6)
+
+
+def test_suspension_cap():
+    """reflectance 1 + tiny port + tiny bounce cap: most chains overrun the
+    cap and must be SUSPENDED with exactly cap bounces."""
+    scene = SCENE.with_(reflectance=1.0, theta_max_deg=179.0, max_bounces=8)
+    r = trace_rays_direct(jax.random.key(0), scene, SOURCE_OVERNIGHT, 4096,
+                          CFG)
+    st = np.asarray(r.status)
+    nb = np.asarray(r.n_bounces)
+    assert (st == SUSPENDED).mean() > 0.9
+    assert (nb[st == SUSPENDED] == 8).all()
+    assert (st != ABSORBED).all()  # rho = 1 cannot absorb
+
+
+def test_applicability_guards():
+    assert direct_applicable(SCENE, CFG)
+    assert not direct_applicable(
+        SCENE.with_(surface_model=SurfaceModel.SPECULAR), CFG)
+    assert not direct_applicable(SCENE, TraceConfig(keep_history=4))
+    with pytest.raises(NotImplementedError):
+        trace_rays_direct(jax.random.key(0), SCENE.with_(exact_rim=True),
+                          SOURCE_OVERNIGHT, 64, CFG)
+
+
+def test_auto_dispatch_uses_direct_and_rim_composes():
+    """trace_rays_auto routes Lambertian scenes to the direct sampler
+    (exact-rim via the deferred post-pass) and 'simulate' opts out."""
+    scene_rim = SCENE_OPTIMIZE.with_(max_bounces=4096)  # exact_rim=True
+    n = 30_000
+    ra = trace_rays_auto(jax.random.key(3), scene_rim, SOURCE_OVERNIGHT, n,
+                         CFG)
+    rs = trace_rays(jax.random.key(4), scene_rim, SOURCE_OVERNIGHT, n, CFG)
+    fa = float(ra.exited_port_mask().mean())
+    fs = float(rs.exited_port_mask().mean())
+    sem = np.sqrt(0.425 * 0.575 / n)
+    assert abs(fa - fs) < 5 * sem
+    # rim physics must actually bite: the no-rim closed form overshoots
+    assert fa < expected_exit_fraction(scene_rim.theta_max_deg,
+                                      scene_rim.reflectance) - 2 * sem
+    # engine="simulate" falls back to the simulation path (distribution
+    # unchanged; just assert it runs and matches statistically)
+    rsim = trace_rays_auto(jax.random.key(5), scene_rim, SOURCE_OVERNIGHT, n,
+                           TraceConfig(engine="simulate"))
+    assert abs(float(rsim.exited_port_mask().mean()) - fa) < 5 * sem
+
+
+def test_direct_engine_errors_when_inapplicable():
+    with pytest.raises(NotImplementedError):
+        trace_rays_auto(jax.random.key(0),
+                        SCENE.with_(surface_model=SurfaceModel.MIXED_BRDF),
+                        SOURCE_OVERNIGHT, 64, TraceConfig(engine="direct"))
