@@ -75,9 +75,93 @@ def _hits_block(E, D, rowmask, C, Nrm, half_w):
     return jnp.sum(hit, axis=0, dtype=jnp.int32)
 
 
-def _score_grid(E, D, rowmask, grid: DetectorGrid, exit_port_z, pos_chunk):
+def _plucker_weights(C, Nrm, half_w):
+    """Per-position 21-vector of quadratic-form weights for the MXU scorer.
+
+    The disk test multiplied through by b^2 (b = d.n) is
+    ``|V|^2 <= R^2 b^2`` with ``V = b (rel x n) - a (d x n)`` — and V is
+    LINEAR in the ray's Plucker coordinates r = (m, d), m = p x d:
+
+        V = (I - n n^T) m + B d,   B = -(c x n) n^T - (c.n) [n]_x
+
+    so the whole test is ``r^T M r <= 0`` with the symmetric 6x6
+
+        M = [[I - n n^T,  B       ],
+             [B^T,        B^T B - R^2 n n^T]]
+
+    (the mm-block uses A^T A = A since A is a projector, and A B = B since
+    both columns spaces of B are already orthogonal to n).  Returns the
+    ``[P, 21]`` upper-triangle weights (off-diagonals doubled) that turn
+    the pair test into ONE ``[N, 21] x [21, P]`` matmul.
+    """
+    f32 = jnp.float32
+    C = C.astype(f32)
+    Nrm = Nrm.astype(f32)
+    P = C.shape[0]
+    eye = jnp.eye(3, dtype=f32)
+    nnT = jnp.einsum("pi,pj->pij", Nrm, Nrm)
+    A = eye[None] - nnT                                    # [P,3,3]
+    cxn = jnp.cross(C, Nrm)                                # [P,3]
+    cn = jnp.sum(C * Nrm, axis=1)                          # [P]
+    # cross-product matrix [n]_x (so that [n]_x v = n x v)
+    zeros = jnp.zeros((P,), f32)
+    nx, ny, nz = Nrm[:, 0], Nrm[:, 1], Nrm[:, 2]
+    n_x = jnp.stack([
+        jnp.stack([zeros, -nz, ny], axis=-1),
+        jnp.stack([nz, zeros, -nx], axis=-1),
+        jnp.stack([-ny, nx, zeros], axis=-1),
+    ], axis=-2)                                            # [P,3,3]
+    B = (-jnp.einsum("pi,pj->pij", cxn, Nrm)
+         - cn[:, None, None] * n_x)                        # [P,3,3]
+    BtB = jnp.einsum("pki,pkj->pij", B, B)
+    M = jnp.concatenate([
+        jnp.concatenate([A, B], axis=2),
+        jnp.concatenate([jnp.swapaxes(B, 1, 2),
+                         BtB - (half_w * half_w) * nnT], axis=2),
+    ], axis=1)                                             # [P,6,6]
+    iu0, iu1 = jnp.triu_indices(6)
+    w = M[:, iu0, iu1]
+    # double the off-diagonal weights (each pair r_i r_j appears twice)
+    return jnp.where((iu0 != iu1)[None, :], 2.0 * w, w)    # [P,21]
+
+
+def _plucker_features(E, D):
+    """``[N, 21]`` upper-triangle products of r = (m, d), m = E x D (any
+    point on the line gives the same moment)."""
+    f32 = jnp.float32
+    E = E.astype(f32)
+    D = D.astype(f32)
+    r6 = jnp.concatenate([jnp.cross(E, D), D], axis=1)     # [N,6]
+    iu0, iu1 = jnp.triu_indices(6)
+    return r6[:, iu0] * r6[:, iu1]                         # [N,21]
+
+
+def _hits_block_mxu(Phi, D, rowmask, W, Nrm):
+    """MXU pair test for one position block: one [N,21]x[21,P] matmul for
+    the disk condition plus the K=3 parallel guard.  Same semantics as
+    ``_hits_block`` (infinite line, |d.n| >= 1e-10), multiplied through by
+    b^2 so there is no division."""
+    f32 = jnp.float32
+    s = jax.lax.dot_general(   # [N,P]  r^T M_p r
+        Phi, W, (((1,), (1,)), ((), ())), preferred_element_type=f32)
+    dn = jax.lax.dot_general(  # [N,P]  d . n_p
+        D.astype(f32), Nrm.astype(f32), (((1,), (1,)), ((), ())),
+        preferred_element_type=f32)
+    hit = (s <= 0.0) & (jnp.abs(dn) >= PARALLEL_EPS) & rowmask[:, None]
+    return jnp.sum(hit, axis=0, dtype=jnp.int32)
+
+
+def _score_grid(E, D, rowmask, grid: DetectorGrid, exit_port_z, pos_chunk,
+                method: str = "mxu"):
     """Chunked [rays x positions] scoring core shared by the trace-once
-    scorers."""
+    scorers.
+
+    ``method="mxu"`` (default) runs the Plucker-quadratic single-matmul
+    test (``_hits_block_mxu``); ``"exact"`` runs the direct per-pair
+    plane/disk arithmetic (``_hits_block``).  The two differ only in fp32
+    rounding at the disk edge (the mxu form is the exact test multiplied
+    through by (d.n)^2); equivalence is pinned by tests/test_score.py.
+    """
     C, Nrm = grid_centers_normals(grid, exit_port_z)
     P = grid.n_positions
     chunk = min(pos_chunk, P)
@@ -88,9 +172,23 @@ def _score_grid(E, D, rowmask, grid: DetectorGrid, exit_port_z, pos_chunk):
         # pad normals with +z so padded positions are valid-but-missed
         padn = jnp.tile(jnp.array([[0.0, 0.0, 1.0]], Nrm.dtype), (pad, 1))
         Nrm = jnp.concatenate([Nrm, padn])
+    half_w = grid.width / 2.0
+
+    if method == "mxu":
+        W = _plucker_weights(C, Nrm, half_w)
+        Phi = _plucker_features(E, D)
+        Wb = W.reshape(n_chunks, chunk, 21)
+        Nb = Nrm.reshape(n_chunks, chunk, 3)
+
+        def one_chunk(args):
+            w, n = args
+            return _hits_block_mxu(Phi, D, rowmask, w, n)
+
+        counts = jax.lax.map(one_chunk, (Wb, Nb)).reshape(-1)[:P]
+        return counts.reshape(grid.n_theta, grid.n_phi)
+
     Cb = C.reshape(n_chunks, chunk, 3)
     Nb = Nrm.reshape(n_chunks, chunk, 3)
-    half_w = grid.width / 2.0
 
     def one_chunk(args):
         c, n = args
@@ -105,6 +203,7 @@ def fluxmap_trace_once(
     grid: DetectorGrid,
     exit_port_z=-100.0,
     pos_chunk: int = 1080,
+    method: str = "mxu",
 ) -> jax.Array:
     """The trace-once flux map: ``[n_theta, n_phi]`` hit COUNTS from a traced
     batch (``sweepDetectorTraceOnce``, ``fluxAtObserverFast.C:1068-1341``).
@@ -116,7 +215,7 @@ def fluxmap_trace_once(
     mask = result.exited_port_mask(exit_port_z)
     E = result.last_point.stack()
     D = result.direction.stack()
-    return _score_grid(E, D, mask, grid, exit_port_z, pos_chunk)
+    return _score_grid(E, D, mask, grid, exit_port_z, pos_chunk, method)
 
 
 def exit_capacity(scene: SphereScene, n_rays: int, sigmas: float = 6.0,
@@ -140,6 +239,7 @@ def fluxmap_trace_once_compact(
     capacity: int,
     exit_port_z=-100.0,
     pos_chunk: int = 1080,
+    method: str = "mxu",
 ):
     """Trace-once scoring over the COMPACTED exit subset: gathers the
     (typically ~43%) exiting rays into a ``capacity``-sized buffer before
@@ -159,7 +259,7 @@ def fluxmap_trace_once_compact(
     D = result.direction.stack()[take]
     n_overflow = jnp.sum(mask, dtype=jnp.int32) - jnp.sum(
         valid, dtype=jnp.int32)
-    counts = _score_grid(E, D, valid, grid, exit_port_z, pos_chunk)
+    counts = _score_grid(E, D, valid, grid, exit_port_z, pos_chunk, method)
     return counts, n_overflow
 
 

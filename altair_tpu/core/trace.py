@@ -353,6 +353,113 @@ def rim_deferred_capacity_shift(scene: SphereScene) -> int | None:
     return shift
 
 
+def _rim_continuation_hybrid(key, scene, carry, cfg, radius, r_out, cos_tm,
+                             INF):
+    """Finish the deferred-rim continuation buffer with the closed-form
+    sampler where the chain law allows it.
+
+    1. 16 in-loop exact-rim iterations at full buffer width: gap lanes
+       propagate (cone / re-entry / outward escape), early roulette deaths
+       resolve.  After the prefix nearly every survivor is a plain interior
+       lane.
+    2. Interior survivors (wall point + fresh Lambertian direction, or a
+       re-entry mid-flight — both exactly the ``trace_direct_from_state``
+       initial state) are completed in closed form.
+    3. The sampled escape segments are rim-clip-tested (recursive clips,
+       ~4.6% of these exits); clipped survivors take their first rim bounce
+       and join any still-in-gap lanes in an ``m >> 3`` tail buffer that
+       runs the full in-loop kernel to extinction.
+
+    Returns ``(pos, dir, prev, status, bounces, n_overflow)`` for the
+    m-buffer, suspension already applied.
+    """
+    from .geometry import cone_crossing_t, cone_face_normal
+    from .sampling import scatter as scatter_fn
+    from .trace_direct import trace_direct_from_state
+
+    dtype = cfg.dtype
+    m = carry[0].x.shape[0]
+    max_iters = int(scene.max_bounces)
+    k_pre, k_fin, k_rim2, k_tail = jax.random.split(key, 4)
+
+    prefix = min(16, max_iters)
+    step = make_bounce_step(k_pre, scene, m, cfg)
+    carry = jax.lax.fori_loop(0, prefix, step, carry)
+    pos, direction, prev, status, bounces, in_gap = carry
+
+    # ---- closed-form finish for interior survivors ----------------------
+    run_int = (status == RUNNING) & ~in_gap
+    fin = trace_direct_from_state(k_fin, scene, pos, direction, bounces, cfg)
+    status_o = jnp.where(run_int, fin.status, status)
+    pos_o = Vec3.where(run_int, fin.last_point, pos)
+    prev_o = Vec3.where(run_int, fin.seg_start, prev)
+    dir_o = Vec3.where(run_int, fin.direction, direction)
+    bounces_o = jnp.where(run_int, fin.n_bounces, bounces)
+
+    # ---- recursive rim clips on the sampled escapes ---------------------
+    fin_exit = run_int & (fin.status == EXITED)
+    q2 = sphere_hit(fin.seg_start, fin.direction, radius)
+    s2 = cone_crossing_t(q2, fin.direction, cos_tm, radius, r_out, INF)
+    clip2 = fin_exit & (s2 < INF)
+    rim_pt2 = q2 + fin.direction.scale(s2)
+    k_surv2, k_scat2 = jax.random.split(k_rim2)
+    survive2 = (jax.random.uniform(k_surv2, (m,), dtype)
+                < jnp.asarray(scene.reflectance, dtype))
+    d2 = scatter_fn(k_scat2, scene.surface_model, fin.direction,
+                    cone_face_normal(rim_pt2), scene)
+
+    # clipped-and-killed lanes die at the rim face
+    dead2 = clip2 & ~survive2
+    status_o = jnp.where(dead2, ABSORBED, status_o)
+    pos_o = Vec3.where(dead2, rim_pt2, pos_o)
+    bounces_o = jnp.where(clip2, fin.n_bounces + 1, bounces_o)
+
+    # ---- in-loop tail: clipped survivors + lanes still in the gap -------
+    still_gap = (status == RUNNING) & in_gap
+    cont = (clip2 & survive2) | still_gap
+    t_pos = Vec3.where(clip2, rim_pt2, pos)
+    t_dir = Vec3.where(clip2, d2, direction)
+    t_prev = Vec3.where(clip2, fin.seg_start, prev)
+    t_bounces = jnp.where(clip2, fin.n_bounces + 1, bounces)
+
+    m2 = min(m, max(256, m >> 3))
+    n_overflow2 = jnp.maximum(jnp.sum(cont, dtype=jnp.int32) - m2, 0)
+    idx2 = jnp.nonzero(cont, size=m2, fill_value=m)[0]
+    valid2 = idx2 < m
+    safe2 = jnp.minimum(idx2, m - 1)
+
+    def g(a):
+        return a[safe2]
+
+    def gv(v: Vec3) -> Vec3:
+        return Vec3(g(v.x), g(v.y), g(v.z))
+
+    carry2 = (gv(t_pos), gv(t_dir), gv(t_prev),
+              jnp.where(valid2, RUNNING, ABSORBED).astype(jnp.int32),
+              g(t_bounces), valid2)
+    step2 = make_bounce_step(k_tail, scene, m2, cfg)
+    block = max(1, min(int(cfg.block_iters), max_iters))
+    pos2, dir2, prev2, status2, bounces2, _ = _while_trace(
+        step2, carry2, max_iters, block)
+    status2 = jnp.where(status2 == RUNNING, SUSPENDED, status2)
+
+    sidx2 = jnp.where(valid2, idx2, m)
+
+    def sv(out: Vec3, new: Vec3) -> Vec3:
+        return Vec3(out.x.at[sidx2].set(new.x, mode="drop"),
+                    out.y.at[sidx2].set(new.y, mode="drop"),
+                    out.z.at[sidx2].set(new.z, mode="drop"))
+
+    status_f = status_o.at[sidx2].set(status2, mode="drop")
+    # tail-overflow still-gap lanes (counted in n_overflow2) cannot finish:
+    # suspend them, mirroring the optimistic-EXITED contract for clips
+    status_f = jnp.where(status_f == RUNNING, SUSPENDED, status_f)
+    return (sv(pos_o, pos2), sv(dir_o, dir2), sv(prev_o, prev2),
+            status_f,
+            bounces_o.at[sidx2].set(bounces2, mode="drop"),
+            n_overflow2)
+
+
 def trace_rays_rim_deferred(
     key: jax.Array,
     scene: SphereScene,
@@ -447,7 +554,22 @@ def trace_rays_rim_deferred(
 
     carry = (c_pt, c_dir, c_prev, status0, c_bounces, in_gap0)
     max_iters = int(scene.max_bounces)
-    if m >= _WAVES_CONTINUATION_MIN:
+
+    from .trace_direct import direct_applicable
+
+    if cfg.engine in ("auto", "direct") and direct_applicable(scene, cfg):
+        # HYBRID continuation (statically-Lambertian scenes): a short
+        # in-loop prefix resolves the gap dynamics, interior survivors are
+        # finished in closed form (trace_direct_from_state — exact, see
+        # trace_direct.py), their re-clipped escapes plus any lanes still
+        # in the gap run the full in-loop kernel in a 8x-smaller tail.
+        # Replaces a full-width while-loop-to-extinction whose cost
+        # dominated the rim overhead (~80 ms at 4M rays on v5e).
+        (pos, direction, prev, status, bounces,
+         n_overflow2) = _rim_continuation_hybrid(
+            k_cont, scene, carry, cfg, radius, r_out, cos_tm, INF)
+        n_overflow = n_overflow + n_overflow2
+    elif m >= _WAVES_CONTINUATION_MIN:
         # large continuations wave-compact their own tail: after the gap
         # resolves (a few iterations) only re-entrant lanes survive, and an
         # uncompacted while-loop would run the full bounce tail at width m

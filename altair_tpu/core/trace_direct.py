@@ -115,7 +115,35 @@ def trace_rays_direct(
             "the direct sampler draws simple-mode physics; exact-rim scenes "
             "compose it via trace_rays_rim_deferred (see trace_rays_auto)")
 
+    pos0, dir0 = _source_rays(source, n_rays, cfg.dtype)
+    return trace_direct_from_state(key, scene, pos0, dir0,
+                                   jnp.zeros((n_rays,), jnp.int32), cfg)
+
+
+def trace_direct_from_state(
+    key: jax.Array,
+    scene: SphereScene,
+    pos0: Vec3,
+    dir0: Vec3,
+    bounces0: jax.Array,
+    cfg: TraceConfig = TraceConfig(),
+) -> TraceResult:
+    """Closed-form completion from an arbitrary per-lane mid-flight state.
+
+    ``(pos0, dir0)`` may be any interior point (or wall point) with any
+    unit direction: the FIRST flight is computed explicitly (sphere_hit —
+    exactness does not require it to be uniform), and everything after its
+    first Lambertian wall scatter follows the uniform chain law.  This is
+    what lets the deferred-rim continuation hand its interior survivors to
+    the direct sampler: a lane sitting at a wall point with a freshly
+    scattered direction, or mid-flight after re-entering through the cap,
+    is exactly this state.  ``bounces0`` is the already-accumulated wall
+    count (added to the sampled chain's); the remaining chain gets a fresh
+    ``scene.max_bounces`` budget (same documented one-budget slack as the
+    in-loop continuation restart in ``trace_rays_rim_deferred``).
+    """
     dtype = cfg.dtype
+    n_rays = pos0.x.shape[0]
     shape = (n_rays,)
     radius = jnp.asarray(scene.inner_radius, dtype)
     cos_tm = jnp.cos(jnp.deg2rad(jnp.asarray(scene.theta_max_deg, dtype)))
@@ -125,7 +153,6 @@ def trace_rays_direct(
     max_iters = int(scene.max_bounces)
 
     # deterministic first flight (the only non-uniform step of the chain)
-    pos0, dir0 = _source_rays(source, n_rays, dtype)
     q1 = sphere_hit(pos0, dir0, radius)
     esc1 = q1.z < cos_cap
 
@@ -192,7 +219,7 @@ def trace_rays_direct(
     status = jnp.where(
         exited, EXITED,
         jnp.where(susp, SUSPENDED, ABSORBED)).astype(jnp.int32)
-    bounces = jnp.where(
+    bounces = bounces0 + jnp.where(
         esc1, 0,
         jnp.where(absorbed_h1, 1,
                   jnp.where(susp, max_iters,

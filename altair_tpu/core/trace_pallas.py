@@ -128,6 +128,23 @@ def _gauss(ua, ub):
     return jnp.sqrt(-2.0 * jnp.log(1.0 - ua)) * jnp.cos(_TWO_PI * ub)
 
 
+def _box_flight(mask, px, py, pz, dx, dy, dz, world_half):
+    """Fly masked lanes from their current point to the world-box surface.
+
+    Runs ONCE per ray in the kernel epilogues — the bounce loops stop
+    escaped rays at the shell's cap crossing so the 3 VPU divides here are
+    not paid on every lane-iteration."""
+    def axis_t(pc, dc):
+        face = jnp.where(dc >= 0, world_half, -world_half)
+        return jnp.where(dc == 0, jnp.inf, (face - pc) / dc)
+
+    tb = jnp.minimum(axis_t(px, dx),
+                     jnp.minimum(axis_t(py, dy), axis_t(pz, dz)))
+    return (jnp.where(mask, px + dx * tb, px),
+            jnp.where(mask, py + dy * tb, py),
+            jnp.where(mask, pz + dz * tb, pz))
+
+
 def _scatter_dir(model, scene_ref, draws, nx, ny, nz, dx, dy, dz):
     """The sampling.py scatter laws restated in plain vector ops.
 
@@ -296,17 +313,9 @@ def _bounce_kernel(seed_ref, scene_ref, src_ref, zeros_ref, status_ref,
         ndx, ndy, ndz = _scatter_dir(model, scene_ref, draws,
                                      nx, ny, nz, dx, dy, dz)
 
-        # escaped rays fly to the world box
-        def axis_t(pc, dc):
-            face = jnp.where(dc >= 0, world_half, -world_half)
-            return jnp.where(dc == 0, jnp.inf, (face - pc) / dc)
-
-        tb = jnp.minimum(axis_t(px, dx),
-                         jnp.minimum(axis_t(py, dy), axis_t(pz, dz)))
-        bx = px + dx * tb
-        by = py + dy * tb
-        bz = pz + dz * tb
-
+        # escaped rays stop at the cap crossing q here; the flight to the
+        # world box (3 VPU divides) runs ONCE per ray in the epilogue
+        # instead of every bounce of every lane
         new_status = jnp.where(
             escaped, EXITED, jnp.where(survive, RUNNING, ABSORBED)
         ).astype(jnp.int32)
@@ -314,9 +323,9 @@ def _bounce_kernel(seed_ref, scene_ref, src_ref, zeros_ref, status_ref,
         prevx = jnp.where(active, px, prevx)
         prevy = jnp.where(active, py, prevy)
         prevz = jnp.where(active, pz, prevz)
-        px = jnp.where(active, jnp.where(escaped, bx, qx), px)
-        py = jnp.where(active, jnp.where(escaped, by, qy), py)
-        pz = jnp.where(active, jnp.where(escaped, bz, qz), pz)
+        px = jnp.where(active, qx, px)
+        py = jnp.where(active, qy, py)
+        pz = jnp.where(active, qz, pz)
         upd_dir = active & ~escaped & survive
         dx = jnp.where(upd_dir, ndx, dx)
         dy = jnp.where(upd_dir, ndy, dy)
@@ -334,6 +343,10 @@ def _bounce_kernel(seed_ref, scene_ref, src_ref, zeros_ref, status_ref,
             prevx, prevy, prevz, bounces)
     (_, status, px, py, pz, dx, dy, dz, prevx, prevy, prevz,
      bounces) = jax.lax.while_loop(cond, body, init)
+
+    # epilogue: exited lanes fly from the cap crossing to the world box
+    px, py, pz = _box_flight(status == EXITED, px, py, pz, dx, dy, dz,
+                             world_half)
 
     status = jnp.where(status == RUNNING, SUSPENDED, status)
     status_ref[:] = status
@@ -407,9 +420,12 @@ def _refill_kernel(seed_ref, scene_ref, src_ref, zeros_ref,
     dz = dz0 + zt
     ray_idx = zi
     rbounces = zi
-    # per-slot result planes (live in VMEM for the whole loop);
-    # fields 0 (status) and 10 (bounces) are i32, the rest f32
-    planes = [[zi if k in (0, 10) else zt for k in range(11)]
+    # per-slot result planes (live in VMEM for the whole loop): status,
+    # crossing point q (= seg start AND pre-box last point), direction,
+    # bounces — 8 fields; fields 0 (status) and 7 (bounces) are i32.
+    # The box flight of exits is reconstructed in the epilogue, so no
+    # separate last-point planes are carried.
+    planes = [[zi if k in (0, 7) else zt for k in range(8)]
               for _ in range(budget)]
 
     n_draws = _N_DRAWS[model]
@@ -443,16 +459,6 @@ def _refill_kernel(seed_ref, scene_ref, src_ref, zeros_ref,
         ndx, ndy, ndz = _scatter_dir(model, scene_ref, draws,
                                      nx, ny, nz, dx, dy, dz)
 
-        def axis_t(pc, dc):
-            face = jnp.where(dc >= 0, world_half, -world_half)
-            return jnp.where(dc == 0, jnp.inf, (face - pc) / dc)
-
-        tb = jnp.minimum(axis_t(px, dx),
-                         jnp.minimum(axis_t(py, dy), axis_t(pz, dz)))
-        bx = px + dx * tb
-        by = py + dy * tb
-        bz = pz + dz * tb
-
         done_exit = active & escaped
         done_abs = active & ~escaped & ~survive
         done_susp = (active & ~escaped & survive
@@ -463,10 +469,7 @@ def _refill_kernel(seed_ref, scene_ref, src_ref, zeros_ref,
             jnp.where(done_exit, EXITED,
                       jnp.where(done_abs, ABSORBED, SUSPENDED)
                       ).astype(jnp.int32),                       # status
-            jnp.where(done_exit, bx, qx),                        # last E
-            jnp.where(done_exit, by, qy),
-            jnp.where(done_exit, bz, qz),
-            qx, qy, qz,                                          # seg S
+            qx, qy, qz,                                          # crossing
             dx, dy, dz,                                          # direction
             jnp.where(done_exit, rbounces, rbounces + 1),        # bounces
         ]
@@ -500,12 +503,23 @@ def _refill_kernel(seed_ref, scene_ref, src_ref, zeros_ref,
     out = jax.lax.while_loop(cond, body, init)
     planes = out[9]
 
-    refs = [status_ref, ex_ref, ey_ref, ez_ref, sx_ref, sy_ref, sz_ref,
-            dxo_ref, dyo_ref, dzo_ref, bounces_ref]
     for j in range(budget):
+        st, cx, cy, cz, jdx, jdy, jdz, nb = planes[j]
+        # epilogue: exited slots fly from the cap crossing to the world box
+        lx, ly, lz = _box_flight(st == EXITED, cx, cy, cz, jdx, jdy, jdz,
+                                 world_half)
         sl = pl.ds(j * SUB, SUB)
-        for ref, plane in zip(refs, planes[j]):
-            ref[sl, :] = plane
+        status_ref[sl, :] = st
+        ex_ref[sl, :] = lx
+        ey_ref[sl, :] = ly
+        ez_ref[sl, :] = lz
+        sx_ref[sl, :] = cx
+        sy_ref[sl, :] = cy
+        sz_ref[sl, :] = cz
+        dxo_ref[sl, :] = jdx
+        dyo_ref[sl, :] = jdy
+        dzo_ref[sl, :] = jdz
+        bounces_ref[sl, :] = nb
 
 
 def _model_supported(scene: SphereScene) -> bool:

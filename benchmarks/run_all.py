@@ -171,6 +171,12 @@ def main():
                 .status.sum())
     log("tracing_phase_s", timeit(f, jax.random.key(0)))
 
+    # -- bounce-simulating engine (Pallas on TPU), for comparison ----------
+    cfg_sim = TraceConfig(engine="simulate")
+    f = jax.jit(lambda k: trace_rays_auto(k, scene, src, 100_000, cfg_sim)
+                .status.sum())
+    log("tracing_phase_simulate_s", timeit(f, jax.random.key(0)))
+
     # -- XLA while-loop kernel tier, for comparison -------------------------
     f = jax.jit(lambda k: trace_rays(k, scene, src, 100_000, cfg)
                 .status.sum())
@@ -188,6 +194,10 @@ def main():
     f = jax.jit(lambda k: trace_rays_auto(k, scene, src, n_big, cfg).status.sum())
     t = timeit(f, jax.random.key(2), repeats=2)
     log("throughput_rays_s", n_big / t)
+    f = jax.jit(lambda k: trace_rays_auto(k, scene, src, n_big, cfg_sim)
+                .status.sum())
+    t = timeit(f, jax.random.key(2), repeats=2)
+    log("throughput_simulate_rays_s", n_big / t)
 
     # -- roofline / MFU accounting ------------------------------------------
     roofline(scene, src, cfg, log, timeit)

@@ -61,19 +61,38 @@ class TestShardedFluxmap:
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
     def test_shards_are_independent_streams(self, mesh):
-        """Different shards must not replay the same ray sequence: with 8
-        shards of 1k rays each, identical streams would give identical
-        per-shard exit counts — astronomically unlikely for independent
-        streams."""
-        grid = DetectorGrid(n_theta=2, n_phi=2)
-        counts, n_exit = sharded_fluxmap(
-            mesh, jax.random.key(5), SCENE, SOURCE_OVERNIGHT, grid,
-            8_000, CFG)
-        # compare against one shard's worth traced alone with the folded key
-        res = trace_rays(jax.random.fold_in(jax.random.key(5), 0), SCENE,
-                         SOURCE_OVERNIGHT, 1_000, CFG)
-        lone = int(res.exited_port_mask().sum())
-        assert abs(int(n_exit) - 8 * lone) > 0  # not a trivial 8x replica
+        """Different shards must not replay the same ray sequence: identical
+        streams would give identical per-shard exit counts — astronomically
+        unlikely for 8 independent 1k-ray binomials.  (Checks the per-shard
+        counts directly; an earlier version compared the psum TOTAL against
+        8x a lone trace, which can collide by coincidence — it did, once.)"""
+        from functools import partial
+
+        from jax.sharding import PartitionSpec as P
+
+        from altair_tpu.parallel.mesh import (
+            RAY_AXIS,
+            _per_shard_key,
+            _pick_tracer,
+            scene_spec,
+        )
+
+        n_local = 1_000
+        tracer = _pick_tracer(SCENE, n_local, CFG)
+
+        @partial(jax.shard_map, mesh=mesh,
+                 in_specs=(P(), scene_spec(SCENE), P()),
+                 out_specs=P(RAY_AXIS), check_vma=False)
+        def per_shard_exits(key, scene, src):
+            k = _per_shard_key(key, RAY_AXIS)
+            res = tracer(k, scene, src, n_local, CFG)
+            return res.exited_port_mask(scene.exit_port_z).sum(
+                dtype=jnp.int32)[None]
+
+        counts = np.asarray(per_shard_exits(jax.random.key(5), SCENE,
+                                            SOURCE_OVERNIGHT))
+        assert counts.shape == (8,)
+        assert len(np.unique(counts)) > 1, counts
 
 
 class TestShardedHistogram:

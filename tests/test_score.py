@@ -179,12 +179,18 @@ class TestInsphereDisk:
 
 class TestCompactScorer:
     def test_exact_match_and_capacity(self, result):
+        # method="exact" is bit-stable across batch shapes, so compaction
+        # must reproduce the full map EXACTLY (the mxu matmul re-associates
+        # fp32 adds per tile shape — its compact-vs-full check lives in
+        # TestMxuScorer with an edge tolerance)
         grid = DetectorGrid(n_theta=12, n_phi=6)
-        full = np.asarray(score.fluxmap_trace_once(result, grid))
+        full = np.asarray(score.fluxmap_trace_once(result, grid,
+                                                   method="exact"))
         cap = score.exit_capacity(SCENE, N)
         assert cap < N  # compaction actually shrinks the problem
         compact, ovf = jax.jit(
-            lambda r: score.fluxmap_trace_once_compact(r, grid, cap))(result)
+            lambda r: score.fluxmap_trace_once_compact(
+                r, grid, cap, method="exact"))(result)
         assert int(ovf) == 0
         np.testing.assert_array_equal(full, np.asarray(compact))
 
@@ -203,3 +209,37 @@ class TestCompactScorer:
         assert score.exit_capacity(SCENE_V1, 1000) == 1000
         cap170 = score.exit_capacity(SCENE, 100_000)
         assert 43_000 < cap170 < 50_000
+
+
+class TestMxuScorer:
+    """The Plucker-quadratic MXU scorer vs the exact per-pair arithmetic.
+
+    The mxu form is the same test multiplied through by (d.n)^2, so the two
+    can only disagree by fp32 rounding for pairs ON the disk edge —
+    measured 536 flipped pairs of 7.6e8 at 200k rays (2e-6 of total hits).
+    """
+
+    def test_matches_exact_scorer(self, result):
+        grid = DetectorGrid(n_theta=45, n_phi=30)
+        mxu = np.asarray(score.fluxmap_trace_once(result, grid,
+                                                  method="mxu")).astype(np.int64)
+        exact = np.asarray(score.fluxmap_trace_once(result, grid,
+                                                    method="exact")).astype(np.int64)
+        diff = mxu - exact
+        # per-position flips stay at the edge-rounding scale
+        assert np.abs(diff).max() <= 3, (np.abs(diff).max(),)
+        assert abs(diff.sum()) / max(exact.sum(), 1) < 1e-4
+        assert (diff != 0).mean() < 0.1
+
+    def test_compact_scorer_mxu_path(self, result):
+        grid = DetectorGrid(n_theta=12, n_phi=6)
+        cap = score.exit_capacity(SCENE, N)
+        full = np.asarray(score.fluxmap_trace_once(result, grid,
+                                                   method="mxu"))
+        compact, ovf = jax.jit(lambda r: score.fluxmap_trace_once_compact(
+            r, grid, cap, method="mxu"))(result)
+        assert int(ovf) == 0
+        # fp32 matmul accumulation re-associates per tile shape, so the
+        # compacted batch can flip edge pairs by a count or two
+        assert np.abs(np.asarray(compact).astype(np.int64)
+                      - full.astype(np.int64)).max() <= 2

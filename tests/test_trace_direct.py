@@ -176,3 +176,41 @@ def test_direct_engine_errors_when_inapplicable():
         trace_rays_auto(jax.random.key(0),
                         SCENE.with_(surface_model=SurfaceModel.MIXED_BRDF),
                         SOURCE_OVERNIGHT, 64, TraceConfig(engine="direct"))
+
+
+@pytest.mark.slow
+def test_hybrid_rim_continuation_matches_inloop():
+    """The deferred-rim HYBRID continuation (16-iter in-loop prefix ->
+    closed-form finish -> recursive-clip tail) must be distribution-
+    equivalent to the pure in-loop rim kernel."""
+    from scipy.stats import ks_2samp
+
+    from altair_tpu.core.trace import (
+        rim_deferred_capacity_shift,
+        trace_rays_rim_deferred,
+    )
+
+    scene = SCENE_OPTIMIZE.with_(max_bounces=4096)  # exact_rim=True
+    n = 120_000
+    shift = rim_deferred_capacity_shift(scene)
+    rh, ovf = trace_rays_rim_deferred(jax.random.key(1), scene,
+                                      SOURCE_OVERNIGHT, n, CFG,
+                                      capacity_shift=shift,
+                                      main_tracer=trace_rays_direct)
+    assert int(ovf) == 0
+    rr = trace_rays(jax.random.key(2), scene, SOURCE_OVERNIGHT, n, CFG)
+    fh = float(rh.exited_port_mask().mean())
+    fr = float(rr.exited_port_mask().mean())
+    sem = np.sqrt(0.425 * 0.575 / n)
+    assert abs(fh - fr) < 5 * sem
+    assert 0.418 < fh < 0.433  # corpus band with MC slack
+
+    def dz(r):
+        m = np.asarray(r.exited_port_mask())
+        return np.asarray(r.direction.z)[m]
+
+    k1 = ks_2samp(dz(rh), dz(rr))
+    k2 = ks_2samp(np.asarray(rh.n_bounces), np.asarray(rr.n_bounces))
+    # null D at this N is ~0.005 (see test_ks_equivalence calibration)
+    assert k1.statistic < 2.5 * 0.006 * np.sqrt(200_000 / n)
+    assert k2.statistic < 2.5 * 0.006 * np.sqrt(200_000 / n)
