@@ -8,10 +8,11 @@ the TPU's native PRNG (`pltpu.prng_seed` / `prng_random_bits`), so one
 kernel invocation runs a block of rays from source to termination with zero
 intermediate HBM traffic.
 
-Supports the LAMBERTIAN, SPECULAR (roughened-normal mirror) and MIXED_BRDF
-scatter laws — the production path plus both nonLambertianFlux studies.
-COS_N_LOBE (a rejection loop) and custom callables run on the XLA kernel;
-`trace_rays_fast` dispatches accordingly.
+Supports all four static scatter laws — LAMBERTIAN, SPECULAR (roughened-
+normal mirror), MIXED_BRDF and COS_N_LOBE (fixed-round masked rejection,
+the archived macro's law) — i.e. the production path plus both
+nonLambertianFlux studies.  Custom scatter callables run on the XLA
+kernel; `trace_rays_fast` dispatches accordingly.
 
 Measured on v5e: physics matches the XLA kernel (exit fraction 0.4305,
 mean bounces 56.9).  Round 1 found a ~1.05 s fixed per-call dispatch tax
@@ -20,10 +21,12 @@ the tax is GONE (1-bounce call = 27-31 ms at any batch size — the
 transport now caches custom kernels) and the kernel beats the XLA paths
 outright: 0.082 s vs 0.100 s for a 1M-ray full trace (~20% faster than
 the wave tracer, ~12 vs 10 M rays/s; marginal rate ~19 M rays/s).  It is
-now the default TPU engine for Lambertian scenes via ``trace_rays_auto``
--> ``trace_rays_fast``; exact-rim physics composes as the deferred rim
-post-pass around it (``trace_rays_rim_deferred``), so the kernel itself
-stays rim-free.  Each lane block runs to completion in VMEM — dead lanes
+the default TPU SIMULATION engine via ``trace_rays_auto`` ->
+``trace_rays_fast`` (statically-Lambertian scenes default to the
+closed-form sampler of ``trace_direct.py`` instead; this kernel carries
+the non-Lambertian models and ``TraceConfig(engine="simulate")``);
+exact-rim physics composes as the deferred rim post-pass around it
+(``trace_rays_rim_deferred``), so the kernel itself stays rim-free.  Each lane block runs to completion in VMEM — dead lanes
 idle only until THEIR block's last ray dies, a per-block early-exit the
 HBM-carry XLA loop cannot express without compaction traffic.
 
@@ -91,11 +94,17 @@ def _sw_uniform(lane_h, ctr):
         jnp.float32) * _INV24
 
 
+# fixed rejection rounds for the cos^n lobe (acceptance ~0.7 at the
+# archived macro's (n=2, 60 deg): 12 rounds leave < 1e-6 unconverged —
+# the XLA sampler (sampling.cos_n_lobe) uses the same first-accept scheme
+_COS_N_ROUNDS = 12
+
 # uniforms drawn per bounce (survive + the model's scatter draws)
 _N_DRAWS = {
     SurfaceModel.LAMBERTIAN: 3,
     SurfaceModel.SPECULAR: 4,
     SurfaceModel.MIXED_BRDF: 7,
+    SurfaceModel.COS_N_LOBE: 1 + 3 * _COS_N_ROUNDS,
 }
 
 _TWO_PI = 6.2831853071795864
@@ -207,6 +216,31 @@ def _scatter_dir(model, scene_ref, draws, nx, ny, nz, dx, dy, dz):
         return (jnp.where(take_spec, sx * inv, ddx),
                 jnp.where(take_spec, sy * inv, ddy),
                 jnp.where(take_spec, sz * inv, ddz))
+    if model == SurfaceModel.COS_N_LOBE:
+        # the archived macro's rejection sampler (nonLambertianFlux
+        # copy.C:38-71 / sampling.cos_n_lobe): theta ~ U(0, max_angle)
+        # (no sin-theta Jacobian), accept with |cos theta|^n; first
+        # accepted proposal wins, stragglers take the last proposal.
+        n_pow = scene_ref[6]
+        max_ang = scene_ref[7]
+        theta = jnp.zeros_like(nx)
+        phi = jnp.zeros_like(nx)
+        accepted = nx < nx  # all-False, layout-matched
+        for i in range(_COS_N_ROUNDS):
+            th = max_ang * draws[1 + 3 * i]
+            ph = _TWO_PI * draws[2 + 3 * i]
+            ct = jnp.cos(th)
+            p = jnp.exp(n_pow * jnp.log(jnp.maximum(jnp.abs(ct), 1e-30)))
+            take = ~accepted
+            theta = jnp.where(take, th, theta)
+            phi = jnp.where(take, ph, phi)
+            accepted = accepted | (take & (draws[3 + 3 * i] <= p))
+        ox, oy, oz = _from_local(nx, ny, nz, jnp.sin(theta),
+                                 jnp.cos(theta), phi)
+        # hemisphere guard (copy.C:210-213): flip if below the surface
+        below = ox * nx + oy * ny + oz * nz < 0
+        sgn = jnp.where(below, -1.0, 1.0).astype(f32)
+        return ox * sgn, oy * sgn, oz * sgn
     raise NotImplementedError(model)  # pragma: no cover
 
 
@@ -301,7 +335,7 @@ def _bounce_kernel(seed_ref, scene_ref, src_ref, zeros_ref, status_ref,
         if hw_prng:
             draws = [_uniform(shape) for _ in range(n_draws)]
         else:
-            c = it.astype(jnp.uint32) * jnp.uint32(8)  # stride 8 > any model
+            c = it.astype(jnp.uint32) * jnp.uint32(n_draws)
             draws = [_sw_uniform(lane_h, c + jnp.uint32(i))
                      for i in range(n_draws)]
         survive = draws[0] < reflectance
@@ -448,7 +482,7 @@ def _refill_kernel(seed_ref, scene_ref, src_ref, zeros_ref,
         if hw_prng:
             draws = [_uniform(shape) for _ in range(n_draws)]
         else:
-            cc = it.astype(jnp.uint32) * jnp.uint32(8)
+            cc = it.astype(jnp.uint32) * jnp.uint32(n_draws)
             draws = [_sw_uniform(lane_h, cc + jnp.uint32(i))
                      for i in range(n_draws)]
         survive = draws[0] < reflectance
@@ -573,7 +607,7 @@ def trace_rays_pallas(
         raise ValueError(f"n_rays must be a multiple of {BLOCK}")
     if not _model_supported(scene):
         raise NotImplementedError(
-            "pallas kernel implements LAMBERTIAN/SPECULAR/MIXED_BRDF walls")
+            "pallas kernel implements the four static scatter laws only")
     if scene.exact_rim:
         raise NotImplementedError(
             "the raw kernel traces simple-mode physics; exact-rim scenes go "
@@ -640,6 +674,9 @@ def _kernel_operands(key, scene: SphereScene, source: Source):
               / (jnp.asarray(scene.specular_prob, jnp.float32)
                  + jnp.asarray(scene.diffuse_prob, jnp.float32)))
         m1 = jnp.asarray(scene.brdf_roughness, jnp.float32) * (jnp.pi / 6.0)
+    elif model == SurfaceModel.COS_N_LOBE:
+        m0 = jnp.asarray(scene.cos_n, jnp.float32)
+        m1 = jnp.deg2rad(jnp.asarray(scene.max_angle_deg, jnp.float32))
     else:
         m0 = jnp.zeros((), jnp.float32)
         m1 = jnp.zeros((), jnp.float32)
@@ -689,7 +726,7 @@ def trace_rays_refill(
         raise ValueError(f"n_rays must be a multiple of {chunk}")
     if not _model_supported(scene):
         raise NotImplementedError(
-            "pallas kernel implements LAMBERTIAN/SPECULAR/MIXED_BRDF walls")
+            "pallas kernel implements the four static scatter laws only")
     if scene.exact_rim:
         raise NotImplementedError(
             "the raw kernel traces simple-mode physics; exact-rim scenes go "

@@ -118,20 +118,28 @@ class TestPallasGuards:
             trace_rays_pallas(jax.random.key(0), SCENE, SOURCE_OVERNIGHT,
                               BLOCK, CFG, interpret=True, hw_prng=True)
 
-    def test_cos_n_lobe_falls_back_to_xla(self):
-        from altair_tpu.config import SurfaceModel
+    def test_custom_callable_falls_back_to_xla(self):
+        """User scatter callables have no kernel lowering — the dispatch
+        must route them to the XLA kernel (COS_N_LOBE itself now runs in
+        the kernel, see TestPallasNonLambertian)."""
+        from altair_tpu.core.sampling import cosine_hemisphere
 
-        scene = SCENE.with_(surface_model=SurfaceModel.COS_N_LOBE)
+        def custom(key, incident, normal, scene):
+            return cosine_hemisphere(key, normal)
+
+        scene = SCENE.with_(surface_model=custom)
         res = trace_rays_fast(jax.random.key(0), scene, SOURCE_OVERNIGHT,
                               1000, CFG, interpret=True, hw_prng=False)
         assert res.status.shape == (1000,)
 
 
 class TestPallasNonLambertian:
-    """SPECULAR and MIXED_BRDF in the kernel vs the XLA scatter laws —
-    interpret mode, identical caps, statistical agreement."""
+    """SPECULAR, MIXED_BRDF and COS_N_LOBE in the kernel vs the XLA
+    scatter laws — interpret mode, identical caps, statistical
+    agreement."""
 
-    @pytest.mark.parametrize("model_name", ["SPECULAR", "MIXED_BRDF"])
+    @pytest.mark.parametrize("model_name",
+                             ["SPECULAR", "MIXED_BRDF", "COS_N_LOBE"])
     def test_exit_stats_match_xla(self, model_name):
         from altair_tpu.config import SurfaceModel
 
