@@ -13,7 +13,7 @@ import numpy as np
 
 from ..config import SphereScene, Source, TraceConfig
 from ..core.score import exit_angle_histogram, exit_directions, z_angle_histogram
-from ..core.trace import trace_rays
+from ..core.trace_waves import trace_rays_auto as trace_rays
 
 
 @dataclasses.dataclass

@@ -32,7 +32,8 @@ from ..config import DetectorGrid, SphereScene, Source, TraceConfig
 from ..core.geometry import Vec3
 from ..core.sampling import mixed_brdf
 from ..core.score import fluxmap_trace_once
-from ..core.trace import EXITED, RUNNING, TraceResult, trace_rays
+from ..core.trace import EXITED, RUNNING, TraceResult
+from ..core.trace_waves import trace_rays_auto as trace_rays
 
 
 def _retrace_from(key, scene, pos: Vec3, direction: Vec3, n_rays, cfg):

@@ -189,8 +189,9 @@ def main():
     f = jax.jit(lambda r: fluxmap_trace_once(r, grid).sum())
     log("scoring_phase_s", timeit(f, res))
 
-    # -- throughput (large batch) -----------------------------------------
-    n_big = 4_000_000
+    # -- throughput (large batch; 16M amortises the ~30 ms transport
+    # dispatch floor that dominates smaller calls) --------------------------
+    n_big = 16_000_000
     f = jax.jit(lambda k: trace_rays_auto(k, scene, src, n_big, cfg).status.sum())
     t = timeit(f, jax.random.key(2), repeats=2)
     log("throughput_rays_s", n_big / t)
