@@ -354,7 +354,7 @@ def rim_deferred_capacity_shift(scene: SphereScene) -> int | None:
 
 
 def _rim_continuation_hybrid(key, scene, carry, cfg, radius, r_out, cos_tm,
-                             INF):
+                             INF, depth: int = 0):
     """Finish the deferred-rim continuation buffer with the closed-form
     sampler where the chain law allows it.
 
@@ -367,8 +367,13 @@ def _rim_continuation_hybrid(key, scene, carry, cfg, radius, r_out, cos_tm,
        initial state) are completed in closed form.
     3. The sampled escape segments are rim-clip-tested (recursive clips,
        ~4.6% of these exits); clipped survivors take their first rim bounce
-       and join any still-in-gap lanes in an ``m >> 3`` tail buffer that
-       runs the full in-loop kernel to extinction.
+       and join any still-in-gap lanes in an ``m >> 3`` tail buffer.  A
+       LARGE tail recurses into this same hybrid (its state has exactly
+       the input shape: post-rim-bounce + in-gap lanes) — bounded at two
+       extra levels, each 8x smaller; small or depth-capped tails run the
+       in-loop kernel to extinction.  Without the recursion the tail's
+       while-loop dominated the rim overhead at large N (~85 ms of a
+       ~290 ms total at 16M rays).
 
     Returns ``(pos, dir, prev, status, bounces, n_overflow)`` for the
     m-buffer, suspension already applied.
@@ -437,11 +442,18 @@ def _rim_continuation_hybrid(key, scene, carry, cfg, radius, r_out, cos_tm,
     carry2 = (gv(t_pos), gv(t_dir), gv(t_prev),
               jnp.where(valid2, RUNNING, ABSORBED).astype(jnp.int32),
               g(t_bounces), valid2)
-    step2 = make_bounce_step(k_tail, scene, m2, cfg)
-    block = max(1, min(int(cfg.block_iters), max_iters))
-    pos2, dir2, prev2, status2, bounces2, _ = _while_trace(
-        step2, carry2, max_iters, block)
-    status2 = jnp.where(status2 == RUNNING, SUSPENDED, status2)
+    if depth < 2 and m2 >= 32768:
+        (pos2, dir2, prev2, status2, bounces2,
+         ovf3) = _rim_continuation_hybrid(k_tail, scene, carry2, cfg,
+                                          radius, r_out, cos_tm, INF,
+                                          depth + 1)
+        n_overflow2 = n_overflow2 + ovf3
+    else:
+        step2 = make_bounce_step(k_tail, scene, m2, cfg)
+        block = max(1, min(int(cfg.block_iters), max_iters))
+        pos2, dir2, prev2, status2, bounces2, _ = _while_trace(
+            step2, carry2, max_iters, block)
+        status2 = jnp.where(status2 == RUNNING, SUSPENDED, status2)
 
     sidx2 = jnp.where(valid2, idx2, m)
 

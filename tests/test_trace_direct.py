@@ -214,3 +214,24 @@ def test_hybrid_rim_continuation_matches_inloop():
     # null D at this N is ~0.005 (see test_ks_equivalence calibration)
     assert k1.statistic < 2.5 * 0.006 * np.sqrt(200_000 / n)
     assert k2.statistic < 2.5 * 0.006 * np.sqrt(200_000 / n)
+
+
+def test_recursive_hybrid_consistent_across_buffer_sizes():
+    """At n = 600k the hybrid tail (m2 = n>>4>>3 ... >= 32768) RECURSES;
+    at n = 60k it runs the in-loop tail.  Exit fractions from the two code
+    paths must agree within MC error — catches plumbing errors in the
+    recursive scatter-back."""
+    scene = SCENE_OPTIMIZE.with_(max_bounces=4096)  # exact_rim=True
+    big, small = 600_000, 60_000
+    rb = trace_rays_auto(jax.random.key(21), scene, SOURCE_OVERNIGHT, big,
+                         CFG)
+    rs = trace_rays_auto(jax.random.key(22), scene, SOURCE_OVERNIGHT, small,
+                         CFG)
+    fb = float(rb.exited_port_mask().mean())
+    fs = float(rs.exited_port_mask().mean())
+    sem = np.sqrt(0.425 * 0.575 / small)
+    assert abs(fb - fs) < 5 * sem, (fb, fs)
+    assert 0.418 < fb < 0.433
+    bb = float(jnp.mean(rb.n_bounces))
+    bs = float(jnp.mean(rs.n_bounces))
+    assert abs(bb - bs) < 1.5, (bb, bs)
