@@ -180,13 +180,30 @@ def sweep_detector_retrace(
     pos_chunk: int | None = None,
     verbose: bool = True,
     resume_path: str | None = None,
+    engine: str = "simulate",
+    oversample: int = 128,
 ) -> SweepResult:
     """Fresh rays for every detector position, chunked with per-chunk CSV
     flush (the overnight production path, crash-resilient like the
     reference's immediate-flush loop).  ``resume_path``: continue a partial
     CSV written by an earlier killed run (rows already present are skipped —
-    the reference's manual resume contract, SURVEY.md §5.3/5.4)."""
+    the reference's manual resume contract, SURVEY.md §5.3/5.4).
+
+    ``engine="simulate"`` (default) traces ``n_rays_per_pos`` fresh rays
+    for every position — the exact law of ``sweepDetector``.
+    ``engine="binomial"`` samples each cell from its per-position binomial
+    law with the hit probability estimated from ONE shared
+    ``oversample * n_rays_per_pos``-ray trace: marginal means exact,
+    ``1/oversample`` relative excess variance (see
+    ``fluxmap_retrace_binomial``) — the whole sweep is a single device
+    call, so chunked flushing and ``resume_path`` do not apply."""
     validate(scene, source)
+    if engine == "binomial":
+        return _retrace_binomial(scene, source, n_rays_per_pos, grid, seed,
+                                 cfg, save_folder, notify, verbose,
+                                 oversample)
+    if engine != "simulate":
+        raise ValueError(f"unknown retrace engine {engine!r}")
     t_all0 = time.perf_counter()
     key = make_key(seed, cfg)
     P = grid.n_positions
@@ -275,6 +292,50 @@ def sweep_detector_retrace(
                             n_total=n_rays_per_pos * P)
         path = writer.path
         writer.close()
+        if verbose:
+            print(f"\nFlux map data saved to '{path}'")
+    if notify:
+        notify_bell()
+    return SweepResult(path, fm, -1, n_rays_per_pos, t_trace,
+                       total - t_trace, total)
+
+
+def _retrace_binomial(scene, source, n_rays_per_pos, grid, seed, cfg,
+                      save_folder, notify, verbose, oversample):
+    """The ``engine="binomial"`` body of ``sweep_detector_retrace``: one
+    device call for the whole map, same CSV dialect and footer."""
+    from ..core.score import fluxmap_retrace_binomial
+
+    t_all0 = time.perf_counter()
+    key = make_key(seed, cfg)
+    if verbose:
+        debug_stamp(f"Binomial retrace: sampling {oversample}x"
+                    f"{n_rays_per_pos} shared rays")
+    run = jax.jit(lambda k: fluxmap_retrace_binomial(
+        k, scene, source, grid, n_rays_per_pos, cfg, oversample))
+    t0 = time.perf_counter()
+    counts = np.asarray(jax.block_until_ready(run(key)), np.float64)
+    t_trace = time.perf_counter() - t0
+    if verbose:
+        debug_stamp(f"Binomial retrace completed in {t_trace:.4f} s")
+    fm = counts / n_rays_per_pos
+
+    total = time.perf_counter() - t_all0
+    total_hits = int(round(counts.sum()))
+    path = None
+    if save_folder is not None:
+        meta = _metadata(scene, source, grid, n_rays_per_pos,
+                         trace_once=False)
+        fname = fluxmap_filename(
+            n_rays_per_pos, grid.n_theta, grid.n_phi,
+            (float(source.x), float(source.y), float(source.z)),
+            trace_once=False)
+        with FluxmapWriter(os.path.join(save_folder, fname), meta) as w:
+            w.write_map(np.asarray(grid.theta_centers()),
+                        np.asarray(grid.phi_centers()), fm)
+            w.write_footer(total, total_hits=total_hits,
+                           n_total=n_rays_per_pos * grid.n_positions)
+            path = w.path
         if verbose:
             print(f"\nFlux map data saved to '{path}'")
     if notify:

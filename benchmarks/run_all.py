@@ -212,6 +212,14 @@ def main():
         fracs[str(int(port))] = {"ours": float(r) / 100_000, "corpus": corpus}
     out["exit_fractions"] = fracs
 
+    # -- binomial retrace engine: the same 16,200-cell retrace-statistics
+    # map from ONE shared 6.4M-ray sample + per-cell binomial draws
+    # (1/128 = 0.8% excess variance; core/score.py:fluxmap_retrace_binomial)
+    from altair_tpu.core.score import fluxmap_retrace_binomial
+    f = jax.jit(lambda k: fluxmap_retrace_binomial(
+        k, scene, src, grid, 50_000, cfg, oversample=128).sum())
+    log("retrace_binomial_total_s", timeit(f, jax.random.key(5)))
+
     # -- full retrace sweep (8.1e8 traces, split into host-level calls so
     # no single device execution exceeds the transport's limits) -----------
     if not args.quick:
@@ -246,11 +254,12 @@ def main():
         ("tracing phase (100k rays)", "tracing_phase_s"),
         ("scoring phase (16,200 positions)", "scoring_phase_s"),
         ("retrace sweep (8.1e8 traces)", "retrace_total_s"),
+        ("retrace map, binomial engine", "retrace_binomial_total_s"),
     ]
     for label, key in rows:
         if key not in out:
             continue
-        ref = REF[key]
+        ref = REF.get(key, REF["retrace_total_s"])
         ours = out[key]
         print(f"{label:42s} {ours:10.4f} s   ref {ref:10.1f} s   "
               f"x{ref / ours:,.0f}")

@@ -1,0 +1,148 @@
+"""Binomial retrace engine (core/score.py::fluxmap_retrace_binomial).
+
+The exact retrace cell is Binomial(n, pi_p), independent across positions
+(``sweepDetector``, ``fluxAtObserverOptimize.C:433-702`` — fresh rays per
+position).  The binomial engine draws each cell from Binomial(n, pi_hat_p)
+with pi_hat shared-sample estimated; its documented contract is
+
+  * marginal mean exact:          E[Y_p] = n * pi_p
+  * relative excess variance:     Var(Y_p)/[n pi (1-pi)] - 1 = 1/oversample
+  * cross-cell correlation:       O(1/oversample)  (true retrace: 0)
+
+These tests pin the mean against an independent trace-once map, the
+variance and independence against repeated seeds, and the sweep driver's
+CSV dialect.
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from altair_tpu import (
+    DetectorGrid, SCENE_OPTIMIZE, SOURCE_OVERNIGHT, TraceConfig)
+from altair_tpu.core import score
+from altair_tpu.core.trace_waves import trace_rays_auto
+
+SCENE = SCENE_OPTIMIZE.with_(max_bounces=4096)
+CFG = TraceConfig()
+GRID = DetectorGrid(n_theta=6, n_phi=4)
+N_PER_POS = 1_000
+OVERSAMPLE = 16  # small on purpose: keeps the repeated-seed fixture cheap
+
+
+@pytest.fixture(scope="module")
+def reps():
+    """40 independent binomial-engine maps (counts), plus the run fn."""
+    run = jax.jit(lambda k: score.fluxmap_retrace_binomial(
+        k, SCENE, SOURCE_OVERNIGHT, GRID, N_PER_POS, CFG,
+        oversample=OVERSAMPLE))
+    maps = np.stack([np.asarray(run(jax.random.key(100 + i)))
+                     for i in range(40)])
+    return maps
+
+
+@pytest.fixture(scope="module")
+def reference_map():
+    """Independent trace-once probability map (200k rays) as the
+    ground-truth pi_p estimate (sem ~ sqrt(pi/2e5) per cell)."""
+    res = trace_rays_auto(jax.random.key(7), SCENE, SOURCE_OVERNIGHT,
+                          200_000, CFG)
+    return np.asarray(score.fluxmap_trace_once(res, GRID)) / 200_000
+
+
+def test_counts_bounded_and_integer(reps):
+    assert reps.dtype == np.int32
+    assert (reps >= 0).all()
+    assert (reps <= N_PER_POS).all()
+
+
+def test_deterministic():
+    run = jax.jit(lambda k: score.fluxmap_retrace_binomial(
+        k, SCENE, SOURCE_OVERNIGHT, GRID, N_PER_POS, CFG, oversample=8))
+    a = np.asarray(run(jax.random.key(3)))
+    b = np.asarray(run(jax.random.key(3)))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_mean_matches_trace_once(reps, reference_map):
+    """Cell means across 40 seeds agree with the independent pi estimate:
+    sem per cell = sqrt(pi(1+1/ovs)/ (n*40)) plus the reference map's own
+    error; tolerance 4 combined sigmas."""
+    mean_frac = reps.mean(axis=0) / N_PER_POS
+    pi = reference_map
+    sem = np.sqrt(np.maximum(pi, 1e-6) * (1 + 1 / OVERSAMPLE)
+                  / (N_PER_POS * 40))
+    sem_ref = np.sqrt(np.maximum(pi, 1e-6) / 200_000)
+    tol = 4.0 * np.sqrt(sem**2 + sem_ref**2) + 1e-4
+    ok = np.abs(mean_frac - pi) < tol
+    assert ok.mean() > 0.9, (mean_frac, pi)
+
+
+def test_variance_contract(reps, reference_map):
+    """Per-cell variance across seeds ~= n pi (1-pi) (1 + 1/oversample).
+    With 40 samples the chi2 noise on a variance estimate is ~22% (1 sigma);
+    test the RATIO pooled over the bright cells at a generous band."""
+    pi = reference_map
+    bright = pi * N_PER_POS > 5  # cells with expected count > 5
+    assert bright.sum() >= 4
+    emp = reps.var(axis=0, ddof=1)[bright]
+    theo = (N_PER_POS * pi * (1 - pi) * (1 + 1 / OVERSAMPLE))[bright]
+    ratio = emp.sum() / theo.sum()
+    assert 0.6 < ratio < 1.6, ratio
+
+
+def test_cross_cell_independence(reps, reference_map):
+    """Correlation between distinct bright cells across seeds is O(1/ovs);
+    the null band for 40 samples is ~|r| < 2/sqrt(40) = 0.32."""
+    pi = reference_map.reshape(-1)
+    flat = reps.reshape(40, -1)
+    bright = np.argsort(pi)[-4:]
+    rs = []
+    for i in range(len(bright)):
+        for j in range(i + 1, len(bright)):
+            a, b = flat[:, bright[i]], flat[:, bright[j]]
+            if a.std() == 0 or b.std() == 0:
+                continue
+            rs.append(np.corrcoef(a, b)[0, 1])
+    assert rs and np.max(np.abs(rs)) < 0.55, rs
+
+
+def test_overflow_guard_raises_on_bad_oversample():
+    with pytest.raises(ValueError):
+        score.fluxmap_retrace_binomial(
+            jax.random.key(0), SCENE, SOURCE_OVERNIGHT, GRID, 100, CFG,
+            oversample=1)
+
+
+def test_sweep_driver_binomial(tmp_path):
+    """engine="binomial" through the production driver: CSV dialect, footer
+    and totals match the simulate-path writer contract."""
+    from altair_tpu.io import read_fluxmap
+    from altair_tpu.sweep import sweep_detector_retrace
+
+    r = sweep_detector_retrace(
+        SCENE, SOURCE_OVERNIGHT, n_rays_per_pos=2_000, grid=GRID, seed=5,
+        save_folder=str(tmp_path), engine="binomial", oversample=32,
+        verbose=False)
+    assert r.path is not None and os.path.exists(r.path)
+    assert r.fluxmap.shape == (GRID.n_theta, GRID.n_phi)
+    assert (r.fluxmap >= 0).all() and (r.fluxmap <= 1).all()
+    theta, phi, frac, meta = read_fluxmap(r.path)
+    assert len(theta) == GRID.n_positions
+    np.testing.assert_allclose(
+        frac.reshape(GRID.n_theta, GRID.n_phi), r.fluxmap, atol=1e-9)
+    assert int(meta["Number of rays per position"]) == 2_000
+    txt = open(r.path).read()
+    assert "Total execution time" in txt
+
+
+def test_unknown_engine_rejected():
+    from altair_tpu.sweep import sweep_detector_retrace
+
+    with pytest.raises(ValueError):
+        sweep_detector_retrace(SCENE, SOURCE_OVERNIGHT, n_rays_per_pos=10,
+                               grid=GRID, engine="nope", save_folder=None,
+                               verbose=False)
