@@ -63,6 +63,13 @@ def _bind(lib):
         c_d, c_d, c_d, c_d, c_d, c_d,
         p_i32, p_f64, p_f64, p_f64, p_i32,
     ]
+    lib.altair_trace_direct.restype = c_ll
+    lib.altair_trace_direct.argtypes = [
+        c_ll, c_u64,
+        c_d, c_d, c_d, c_d, c_d, c_ll,
+        c_d, c_d, c_d, c_d, c_d, c_d,
+        p_i32, p_f64, p_f64, p_f64, p_i32,
+    ]
     lib.altair_score_grid.restype = None
     lib.altair_score_grid.argtypes = [
         c_ll, p_f64, p_f64, p_u8,
@@ -128,6 +135,36 @@ def trace_rays_native(scene: SphereScene, source: Source, n_rays: int,
         float(scene.reflectance), float(scene.world_half),
         float(scene.exit_port_z), int(scene.max_bounces),
         1 if exact_rim else 0,
+        float(source.x), float(source.y), float(source.z),
+        float(source.dir_x), float(source.dir_y), float(source.dir_z),
+        status, last.reshape(-1), seg.reshape(-1), dirs.reshape(-1), bounces)
+    return NativeTraceResult(status, last, seg, dirs, bounces, int(n_exit))
+
+
+def trace_rays_native_direct(scene: SphereScene, source: Source,
+                             n_rays: int, seed: int = 0) -> NativeTraceResult:
+    """Run the compiled closed-form direct sampler — the native fp64
+    cross-check of ``core/trace_direct.py`` (independent RNG and
+    arithmetic; same simple-mode Lambertian chain law).  Exact-rim scenes
+    must use ``trace_rays_native`` (the native tier has no deferred rim
+    post-pass)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(
+            "native library not built — run `make -C native`")
+    if callable(scene.surface_model) or int(scene.surface_model) != 0:
+        raise NotImplementedError(
+            "direct sampling requires the Lambertian production scene")
+    status = np.empty(n_rays, np.int32)
+    last = np.empty((n_rays, 3), np.float64)
+    seg = np.empty((n_rays, 3), np.float64)
+    dirs = np.empty((n_rays, 3), np.float64)
+    bounces = np.empty(n_rays, np.int32)
+    n_exit = lib.altair_trace_direct(
+        n_rays, seed,
+        float(scene.inner_radius), float(scene.theta_max_deg),
+        float(scene.reflectance), float(scene.world_half),
+        float(scene.exit_port_z), int(scene.max_bounces),
         float(source.x), float(source.y), float(source.z),
         float(source.dir_x), float(source.dir_y), float(source.dir_z),
         status, last.reshape(-1), seg.reshape(-1), dirs.reshape(-1), bounces)

@@ -8,6 +8,7 @@ from .mesh import (  # noqa: F401
     sharded_fluxmap,
     sharded_param_sweep,
     sharded_retrace,
+    sharded_retrace_binomial,
     sharded_score_traced,
     sharded_trace,
 )

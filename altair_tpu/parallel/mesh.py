@@ -274,6 +274,53 @@ def sharded_score_traced(
     return run(result, scene)
 
 
+def _member_scenes(scenes: SphereScene):
+    """Iterate the concrete member scenes of a stacked scene pytree
+    (leading batch axis on every numeric leaf; static metadata scalar)."""
+    import dataclasses
+    import numbers
+
+    n = jax.tree.leaves(scenes)[0].shape[0]
+    for i in range(n):
+        fields = {}
+        for f in dataclasses.fields(scenes):
+            v = getattr(scenes, f.name)
+            if isinstance(v, (bool, numbers.Number, str)) or callable(v):
+                fields[f.name] = v
+            else:
+                fields[f.name] = float(jnp.asarray(v)[i])
+        yield dataclasses.replace(scenes, **fields)
+
+
+def _param_sweep_tracer(scenes: SphereScene, cfg: TraceConfig):
+    """Engine dispatch for a batched-scene sweep: the direct sampler (with
+    the worst-member deferred-rim capacity) when every concrete member
+    admits it, else the plain in-loop kernel.  Mirrors
+    ``sweep.series._series_tracer`` for pre-stacked pytrees."""
+    from ..core.trace_direct import direct_applicable, trace_rays_direct
+
+    if cfg.keep_history or cfg.engine == "simulate" or \
+            not direct_applicable(scenes, cfg):
+        return _trace_plain
+    if not scenes.exact_rim:
+        return trace_rays_direct
+    try:
+        shifts = [rim_deferred_capacity_shift(sc)
+                  for sc in _member_scenes(scenes)]
+    except (TypeError, jax.errors.TracerArrayConversionError):
+        return _trace_plain  # traced members: capacity can't be planned
+    if any(s is None for s in shifts):
+        return _trace_plain
+    shift = min(shifts)
+
+    def rim_direct(k, sc, src, n, c):
+        return trace_rays_rim_deferred(k, sc, src, n, c,
+                                       capacity_shift=shift,
+                                       main_tracer=trace_rays_direct)[0]
+
+    return rim_direct
+
+
 def sharded_param_sweep(
     mesh: Mesh,
     key: jax.Array,
@@ -301,10 +348,11 @@ def sharded_param_sweep(
     if n_rays_per_scene % n_dev:
         raise ValueError("n_rays_per_scene must divide over devices")
     n_local = n_rays_per_scene // n_dev
-    # the scene batch is traced inside the kernel, so the deferred-rim
-    # capacity cannot be statically bounded per member — exact-rim scenes
-    # use the in-loop rim kernel here (rim_deferred_capacity_shift contract)
-    tracer = _trace_plain
+    # the scene batch is traced inside the kernel, but the CONCRETE member
+    # values are known right here — so the static engine facts (surface
+    # model, worst-member rim capacity) are planned before batching,
+    # exactly like sweep.series._series_tracer
+    tracer = _param_sweep_tracer(scenes, cfg)
 
     scenes_spec = jax.tree.map(lambda _: P(), scenes)
 
@@ -374,6 +422,64 @@ def sharded_retrace(
         counts = fluxmap_retrace(k, scene, src, grid, n_local, cfg,
                                  pos_chunk=pos_chunk)
         return jax.lax.psum(counts, RAY_AXIS)
+
+    return run(key, scene, source)
+
+
+def sharded_retrace_binomial(
+    mesh: Mesh,
+    key: jax.Array,
+    scene: SphereScene,
+    source: Source,
+    grid: DetectorGrid,
+    n_rays_per_pos: int,
+    cfg: TraceConfig = TraceConfig(),
+    oversample: int = 128,
+    pos_chunk: int | None = None,
+):
+    """Multi-chip binomial retrace (docs/PARITY.md §9): each chip traces
+    ``oversample * n_rays_per_pos / n_devices`` of the shared sample and
+    scores its exit segments; one ``psum`` merges the hit counts into the
+    global ``pi_hat``, and the per-cell binomial draws run replicated
+    (same key on every chip -> identical draws, no second collective).
+
+    Same error contract as ``fluxmap_retrace_binomial`` — the shared
+    sample is simply sharded.  Returns ``[n_theta, n_phi]`` int32 counts.
+    """
+    from ..core.score import (
+        exit_capacity, fluxmap_trace_once_compact)
+
+    n_dev = mesh.devices.size
+    M = int(oversample) * int(n_rays_per_pos)
+    if M % n_dev:
+        raise ValueError("oversample * n_rays_per_pos must divide over "
+                         "devices")
+    m_local = M // n_dev
+    cap = exit_capacity(scene, m_local)
+    if pos_chunk is None:
+        pos_chunk = max(8, min(1080, (1 << 28) // max(cap, 1)))
+    tracer = _pick_tracer(scene, m_local, cfg)
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), scene_spec(scene), P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+    def run(key, scene, src):
+        k_trace, k_draw = jax.random.split(jax.random.fold_in(key, 0x51))
+        res = tracer(_per_shard_key(k_trace, RAY_AXIS), scene, src,
+                     m_local, cfg)
+        counts, overflow = fluxmap_trace_once_compact(
+            res, grid, cap, scene.exit_port_z, pos_chunk)
+        counts = jax.lax.psum(counts, RAY_AXIS)
+        overflow = jax.lax.psum(overflow, RAY_AXIS)
+        pi_hat = (counts.astype(jnp.float32)
+                  + overflow.astype(jnp.float32) / grid.n_positions) / M
+        draws = jax.random.binomial(k_draw, float(n_rays_per_pos),
+                                    jnp.clip(pi_hat, 0.0, 1.0))
+        return jnp.nan_to_num(draws).astype(jnp.int32)
 
     return run(key, scene, source)
 

@@ -88,6 +88,39 @@ def stack_scenes(base: SphereScene, **param_arrays) -> SphereScene:
     return dataclasses.replace(base, **fields)
 
 
+def _series_tracer(base_scene: SphereScene, port_angles, cfg: TraceConfig):
+    """Pick the per-member tracer for the batched series.
+
+    Inside ``lax.map`` the scene's numeric fields are traced, which
+    disables the static engine guards of ``trace_rays_auto`` — but the
+    applicability facts are KNOWN here, because the concrete member list
+    is: the surface model is static metadata, and the rim-deferral
+    capacity (a static buffer shape) can be planned for the WORST member
+    (smallest shift = largest buffer) before tracing.  Returns a
+    ``(key, scene, source, n, cfg) -> TraceResult`` callable.
+    """
+    from ..core.trace import rim_deferred_capacity_shift, trace_rays_rim_deferred
+    from ..core.trace_direct import direct_applicable, trace_rays_direct
+
+    if not direct_applicable(base_scene, cfg) or cfg.engine == "simulate":
+        return trace_rays
+    if not base_scene.exact_rim:
+        return trace_rays_direct
+    shifts = [rim_deferred_capacity_shift(
+        base_scene.with_(theta_max_deg=float(p))) for p in port_angles]
+    if any(s is None for s in shifts):
+        return trace_rays  # a member needs the in-loop rim kernel
+    shift = min(shifts)
+
+    def tracer(key, scene, source, n, cfg):
+        res, _ = trace_rays_rim_deferred(key, scene, source, n, cfg,
+                                         capacity_shift=shift,
+                                         main_tracer=trace_rays_direct)
+        return res
+
+    return tracer
+
+
 def run_series_vmapped(
     base_scene: SphereScene,
     source: Source,
@@ -99,21 +132,39 @@ def run_series_vmapped(
     cfg: TraceConfig = TraceConfig(),
 ):
     """All series members in one device call: ``vmap`` over the scene batch
-    axis.  Returns (fluxmaps [S, n_theta, n_phi] counts, exits [S])."""
+    axis.  Returns (fluxmaps [S, n_theta, n_phi] counts, exits [S]).
+
+    Members dispatch to the same engines as the sequential path — the
+    direct sampler (with the deferred-rim post-pass) for statically-
+    Lambertian scenes — because the static applicability facts are
+    computed from the concrete ``port_angles`` list before batching
+    (``_series_tracer``); scoring runs on the compacted exit subset sized
+    for the widest-port member."""
+    from ..core.score import exit_capacity, fluxmap_trace_once_compact
+
     scenes = stack_scenes(
         base_scene, theta_max_deg=jnp.asarray(port_angles, jnp.float32))
+    tracer = _series_tracer(base_scene, port_angles, cfg)
+    cap = max(exit_capacity(base_scene.with_(theta_max_deg=float(p)), n_rays)
+              for p in port_angles)
 
     @jax.jit
     def run(key):
         def one(i, scene):
-            res = trace_rays(jax.random.fold_in(key, i), scene, source,
-                             n_rays, cfg)
-            counts = fluxmap_trace_once(res, grid, scene.exit_port_z)
-            return counts, res.exited_port_mask(scene.exit_port_z).sum()
+            res = tracer(jax.random.fold_in(key, i), scene, source,
+                         n_rays, cfg)
+            counts, overflow = fluxmap_trace_once_compact(
+                res, grid, cap, scene.exit_port_z)
+            return (counts, res.exited_port_mask(scene.exit_port_z).sum(),
+                    overflow)
 
         return jax.lax.map(
             lambda args: one(args[0], args[1]),
             (jnp.arange(len(port_angles)), scenes))
 
-    counts, exits = run(jax.random.key(seed))
+    counts, exits, overflow = run(jax.random.key(seed))
+    if int(np.asarray(overflow).sum()):
+        raise RuntimeError("exit-compaction overflow in series scoring — "
+                           "statistically impossible at the 6-sigma "
+                           "capacity; investigate")
     return np.asarray(counts), np.asarray(exits)

@@ -334,6 +334,124 @@ long long altair_trace(
                          status, last_point, seg_start, direction, n_bounces);
 }
 
+// Closed-form direct sampler — the native fp64 cross-check of the TPU
+// path's default engine (altair_tpu/core/trace_direct.py).  Simple-mode
+// Lambertian chain law: after the deterministic first flight, wall hits
+// are i.i.d. uniform on the sphere (uniform pairwise form factor), so the
+// whole bounce chain is Geometric(1 - (1-f)*rho) rounds plus an
+// independent exit/absorb terminal event, and the final segment is
+// (band-uniform point -> cap-uniform point).  Same output contract and
+// per-lane case analysis as altair_trace; independent RNG (xoshiro256++)
+// and arithmetic (fp64) from the JAX implementation.
+long long altair_trace_direct(
+    long long n, uint64_t seed,
+    double inner_radius, double theta_max_deg, double reflectance,
+    double world_half, double exit_port_z, long long max_bounces,
+    double sx, double sy, double sz, double dx, double dy, double dz,
+    int32_t* status, double* last_point, double* seg_start,
+    double* direction, int32_t* n_bounces) {
+  const double theta_max = theta_max_deg * M_PI / 180.0;
+  const double cos_tm = std::cos(theta_max);
+  const double cos_cap = inner_radius * cos_tm;
+  const double f = 0.5 * (1.0 + cos_tm);           // cap area fraction
+  const double s_cont = (1.0 - f) * reflectance;   // per-round continue
+  const double pe_den = f + (1.0 - f) * (1.0 - reflectance);
+  const double p_exit = pe_den > 0 ? f / pe_den : 1.0;
+  const double log_s = std::log(std::max(s_cont, 1e-300));
+  const V3 src{sx, sy, sz};
+  const V3 sdir = unit({dx, dy, dz});
+  long long n_exit = 0;
+
+  auto zone_point = [&](double z_lo, double z_hi, double uz,
+                        double uphi) -> V3 {
+    // uniform on the spherical zone z/r in [z_lo, z_hi]
+    double zf = z_lo + uz * (z_hi - z_lo);
+    double rho = std::sqrt(std::max(1.0 - zf * zf, 0.0));
+    double phi = 2.0 * M_PI * uphi;
+    return {inner_radius * rho * std::cos(phi),
+            inner_radius * rho * std::sin(phi), inner_radius * zf};
+  };
+
+#pragma omp parallel for schedule(static) reduction(+ : n_exit)
+  for (long long i = 0; i < n; ++i) {
+    uint64_t mix = seed;
+    Rng rng(Rng::splitmix64(mix) ^
+            (0xD1B54A32D192ED03ULL * (uint64_t)(i + 1)));
+    // deterministic first flight (the only non-uniform step)
+    double t1 = sphere_exit_t(src, sdir, inner_radius);
+    V3 q1 = src + sdir * t1;
+    q1 = q1 * (inner_radius / norm(q1));
+    bool esc1 = q1.z < cos_cap;
+
+    double u_s1 = rng.uniform(), u_g = rng.uniform(),
+           u_term = rng.uniform(), u_pz = rng.uniform(),
+           u_pphi = rng.uniform(), u_qz = rng.uniform(),
+           u_qphi = rng.uniform();
+
+    bool surv1 = u_s1 < reflectance;
+    double ratio = (log_s == 0.0) ? 1e300 : std::log1p(-u_g) / log_s;
+    long long G = (long long)std::floor(
+        std::min(ratio, (double)max_bounces));
+    bool term_exit = u_term < p_exit;
+    bool susp = surv1 && !esc1 && ratio >= (double)max_bounces - 1.0;
+
+    V3 b1 = zone_point(cos_tm, 1.0, u_pz, u_pphi);
+    V3 b2 = zone_point(cos_tm, 1.0, u_qz, u_qphi);
+    V3 qcap = zone_point(-1.0, cos_tm, u_qz, u_qphi);
+
+    int st;
+    int32_t bc;
+    V3 seg, dir, last;
+    if (esc1) {
+      st = EXITED;
+      bc = 0;
+      seg = src;
+      dir = sdir;
+      last = src + sdir * box_exit_t(src, sdir, world_half);
+    } else if (!surv1) {
+      st = ABSORBED;
+      bc = 1;
+      seg = src;
+      dir = sdir;
+      last = q1;
+    } else if (susp) {
+      st = SUSPENDED;
+      bc = (int32_t)max_bounces;
+      seg = b1;
+      dir = unit(b2 - b1);
+      last = b2;
+    } else {
+      V3 p_late = (G == 0) ? q1 : b1;
+      if (term_exit) {
+        st = EXITED;
+        bc = (int32_t)(1 + G);
+        seg = p_late;
+        dir = unit(qcap - p_late);
+        last = p_late + dir * box_exit_t(p_late, dir, world_half);
+      } else {
+        st = ABSORBED;
+        bc = (int32_t)(2 + G);
+        seg = p_late;
+        dir = unit(b2 - p_late);
+        last = b2;
+      }
+    }
+    status[i] = st;
+    n_bounces[i] = bc;
+    last_point[3 * i] = last.x;
+    last_point[3 * i + 1] = last.y;
+    last_point[3 * i + 2] = last.z;
+    seg_start[3 * i] = seg.x;
+    seg_start[3 * i + 1] = seg.y;
+    seg_start[3 * i + 2] = seg.z;
+    direction[3 * i] = dir.x;
+    direction[3 * i + 1] = dir.y;
+    direction[3 * i + 2] = dir.z;
+    if (st == EXITED && last.z < exit_port_z) ++n_exit;
+  }
+  return n_exit;
+}
+
 // Trace-once detector-grid scorer: for each of the n_pos detectors
 // (centers[3p], normals[3p]) count segments (point, dir) whose infinite line
 // crosses the disk of radius half_width (Detector::checkIntersection,

@@ -45,6 +45,55 @@ class TestNativeTrace:
         b = native.trace_rays_native(SCENE, SOURCE_OVERNIGHT, 2_000, seed=3)
         np.testing.assert_array_equal(a.last_point, b.last_point)
 
+    def test_direct_sampler_matches_bounce_loop(self):
+        """The compiled closed-form sampler vs the compiled bounce loop:
+        two independent fp64 implementations (neither shares code OR the
+        chain-law derivation with the JAX path) must agree on every
+        marginal — the strongest cross-check of the direct engine's math
+        (docs/PARITY.md §8)."""
+        from scipy.stats import ks_2samp
+
+        scene = SCENE.with_(exact_rim=False)
+        n = 100_000
+        sim = native.trace_rays_native(scene, SOURCE_OVERNIGHT, n, seed=11)
+        direct = native.trace_rays_native_direct(scene, SOURCE_OVERNIGHT, n,
+                                                 seed=13)
+        f_sim, f_dir = sim.n_exited / n, direct.n_exited / n
+        sem = np.sqrt(0.43 * 0.57 / n)
+        assert abs(f_sim - f_dir) < 5 * sem, (f_sim, f_dir)
+        ex_s, ex_d = sim.status == 1, direct.status == 1
+        # exit-direction z and segment-start z marginals
+        k1 = ks_2samp(sim.direction[ex_s, 2], direct.direction[ex_d, 2])
+        k2 = ks_2samp(sim.seg_start[ex_s, 2], direct.seg_start[ex_d, 2])
+        assert k1.pvalue > 1e-3, k1
+        assert k2.pvalue > 1e-3, k2
+        # bounce-count distribution (integer KS: compare via means + tails)
+        assert abs(sim.n_bounces.mean() - direct.n_bounces.mean()) < 1.0
+        q_s = np.quantile(sim.n_bounces, [0.5, 0.9, 0.99])
+        q_d = np.quantile(direct.n_bounces, [0.5, 0.9, 0.99])
+        assert (np.abs(q_s - q_d) <= np.maximum(3, 0.06 * q_s)).all(), (
+            q_s, q_d)
+
+    def test_direct_sampler_matches_jax_direct(self):
+        """Native direct sampler vs the JAX direct sampler — same law,
+        fully independent implementations."""
+        import jax
+
+        from altair_tpu import TraceConfig
+        from altair_tpu.core.trace_direct import trace_rays_direct
+
+        scene = SCENE.with_(exact_rim=False)
+        n = 100_000
+        nat = native.trace_rays_native_direct(scene, SOURCE_OVERNIGHT, n,
+                                              seed=17)
+        jres = trace_rays_direct(jax.random.key(19), scene, SOURCE_OVERNIGHT,
+                                 n, TraceConfig())
+        f_n = nat.n_exited / n
+        f_j = float(jres.exited_port_mask(scene.exit_port_z).mean())
+        assert abs(f_n - f_j) < 5 * np.sqrt(0.43 * 0.57 / n), (f_n, f_j)
+        assert abs(nat.n_bounces.mean() - float(np.asarray(
+            jres.n_bounces).mean())) < 1.0
+
     def test_agrees_with_jax_profile(self, nres):
         """Flux-map theta profile from the native path within MC error of
         the JAX path (and of the golden retrace corpus)."""

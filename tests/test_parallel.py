@@ -166,6 +166,46 @@ class TestShardedRetrace:
             sharded_retrace(mesh, jax.random.key(0), SCENE, SOURCE_OVERNIGHT,
                             DetectorGrid(n_theta=2, n_phi=2), 1001, CFG)
 
+    def test_binomial_matches_single_device(self, mesh):
+        """Sharded binomial retrace (shared sample split over chips, one
+        psum, replicated draws) vs the single-device engine: same error
+        contract, so maps agree within the binomial band."""
+        from altair_tpu.core.score import fluxmap_retrace_binomial
+        from altair_tpu.parallel import sharded_retrace_binomial
+
+        grid = DetectorGrid(n_theta=3, n_phi=2)
+        n_per_pos = 4_000
+        counts = np.asarray(sharded_retrace_binomial(
+            mesh, jax.random.key(0), SCENE, SOURCE_OVERNIGHT, grid,
+            n_per_pos, CFG, oversample=16))
+        assert counts.shape == (3, 2)
+        assert (counts >= 0).all() and (counts <= n_per_pos).all()
+        ref = np.asarray(jax.jit(
+            lambda k: fluxmap_retrace_binomial(
+                k, SCENE, SOURCE_OVERNIGHT, grid, n_per_pos, CFG,
+                oversample=16))(jax.random.key(1)))
+        sigma = np.sqrt(np.maximum(ref, 1)) * 4 + 12
+        assert (np.abs(counts - ref) < sigma).all()
+
+
+class TestParamSweepDispatch:
+    def test_direct_engine_planned_from_concrete_members(self):
+        """sharded_param_sweep must dispatch the direct sampler when every
+        concrete member admits it (the plain-kernel fallback was PROGRESS
+        r2 gap #4)."""
+        from altair_tpu.core.trace import trace_rays as plain
+        from altair_tpu.parallel.mesh import _param_sweep_tracer
+
+        scenes = stack_scenes(SCENE, theta_max_deg=jnp.array([164.0, 170.0]))
+        t = _param_sweep_tracer(scenes, CFG)
+        assert t is not plain
+        t_sim = _param_sweep_tracer(scenes, TraceConfig(engine="simulate"))
+        assert t_sim is plain
+        thick = stack_scenes(SCENE.with_(outer_radius=105.0,
+                                         reflectance=1.0),
+                             theta_max_deg=jnp.array([170.0]))
+        assert _param_sweep_tracer(thick, CFG) is plain
+
 
 class TestShardedWaves:
     def test_waves_engine_inside_shard_map(self, mesh, monkeypatch):

@@ -141,6 +141,46 @@ class TestSeries:
             expect = expected_exit_fraction(p, 0.99)
             assert abs(e / 20_000 - expect) < 0.015, (p, e)
 
+    def test_vmapped_series_uses_direct_engine(self):
+        """The batched series must dispatch the same engines as the
+        sequential path: the static applicability facts are computed from
+        the concrete port list BEFORE batching (PROGRESS r2 gap #4)."""
+        from altair_tpu.config import TraceConfig
+        from altair_tpu.core.trace import trace_rays as plain
+        from altair_tpu.sweep.series import _series_tracer
+
+        ports = [164.0, 170.0]
+        t = _series_tracer(SCENE, ports, TraceConfig())
+        assert t is not plain  # rim-deferred direct path chosen
+        t_sim = _series_tracer(SCENE, ports, TraceConfig(engine="simulate"))
+        assert t_sim is plain
+        # a member whose rim band is too thick to defer falls back whole
+        # (the in-sphere corpus shell: 4.9 cm at reflectance 1 — ~1/3 of
+        # escapers clip, beyond the deferral capacity contract)
+        thick = SCENE.with_(outer_radius=105.0, reflectance=1.0)
+        assert _series_tracer(thick, [170.0], TraceConfig()) is plain
+
+    def test_vmapped_series_engines_agree(self):
+        """Direct-dispatch vmapped series vs engine="simulate" on the same
+        ports: exit fractions and maps agree within MC error."""
+        from altair_tpu.config import TraceConfig
+
+        ports = [164.0, 170.0]
+        grid = DetectorGrid(n_theta=3, n_phi=2)
+        n = 20_000
+        c_d, e_d = run_series_vmapped(
+            SCENE, SOURCE_OVERNIGHT, port_angles=ports, n_rays=n,
+            grid=grid, seed=2)
+        c_s, e_s = run_series_vmapped(
+            SCENE, SOURCE_OVERNIGHT, port_angles=ports, n_rays=n,
+            grid=grid, seed=3, cfg=TraceConfig(engine="simulate"))
+        for p, (ed, es) in zip(ports, zip(e_d, e_s)):
+            pexp = expected_exit_fraction(p, 0.99)
+            sem = np.sqrt(pexp * (1 - pexp) / n)
+            assert abs(ed - es) / n < 5 * sem, (p, ed, es)
+        sigma = np.sqrt(np.maximum(c_s / n, 1e-6) / n) * 5 + 0.004
+        assert (np.abs(c_d / n - c_s / n) < sigma).all()
+
 
 class TestDistribution:
     def test_run_and_write(self, tmp_path):
