@@ -71,7 +71,8 @@ def cmd_fluxmap(args):
         res = sweep_detector_retrace(
             scene, source, n_rays_per_pos=args.rays, grid=grid,
             seed=args.seed, save_folder=args.out, notify=args.notify,
-            resume_path=args.resume)
+            resume_path=args.resume, engine=args.retrace_engine,
+            oversample=args.oversample)
     print(f"total {res.total_time_s:.3f}s  trace {res.trace_time_s:.3f}s")
     return 0
 
@@ -201,6 +202,13 @@ def main(argv=None) -> int:
     p.add_argument("--out", default="results")
     p.add_argument("--resume", default=None,
                    help="partial CSV from a killed retrace run")
+    p.add_argument("--retrace-engine", choices=["simulate", "binomial"],
+                   default="simulate",
+                   help="binomial: per-cell retrace statistics sampled "
+                        "from one shared trace (means exact, 1/oversample "
+                        "excess variance — docs/PARITY.md §9)")
+    p.add_argument("--oversample", type=int, default=128,
+                   help="shared-sample factor for the binomial engine")
     p.add_argument("--notify", action="store_true")
     p.set_defaults(fn=cmd_fluxmap)
 

@@ -54,6 +54,7 @@ def sweep_insphere_detector(
     seed: int = 0,
     cfg: TraceConfig = TraceConfig(),
     retrace: bool = False,
+    pos_chunk: int = 8,
     save_path: str | None = "detector_sweep3.txt",
     aimed: bool = False,
 ) -> InsphereSweepResult:
@@ -77,17 +78,55 @@ def sweep_insphere_detector(
         placement_radius, scene.exit_port_z, aimed=aimed)
 
     if retrace:
-        @jax.jit
-        def one(key, c, n):
-            res = trace_rays(key, scene, source, n_rays, cfg)
-            return hits_insphere_disk(res, c, n, disk_radius)
-
-        frac = np.empty(len(tt))
+        # Fresh rays per position, BATCHED: ``pos_chunk`` disk positions
+        # trace together per device call (rays partitioned chunk-wise among
+        # positions, like core.score.fluxmap_retrace) instead of the
+        # reference's one-geometry-rebuild-per-position loop
+        # (integratingSphereDetectorSweep.C:31-105).  Positions stay
+        # statistically independent: disjoint lanes, key folded per chunk.
         from ..core.geometry import Vec3
-        for i in range(len(tt)):
-            c = Vec3(centers.x[i], centers.y[i], centers.z[i])
-            nn = Vec3(normals.x[i], normals.y[i], normals.z[i])
-            frac[i] = int(one(jax.random.fold_in(key, i), c, nn)) / n_rays
+        from ..core.score import PARALLEL_EPS
+        from ..core.trace import EXITED
+
+        P = len(tt)
+        chunk = min(pos_chunk, P)
+        n_chunks = -(-P // chunk)
+        pad = n_chunks * chunk - P
+        Cd = jnp.stack([centers.x, centers.y, centers.z], 1)
+        Nd = jnp.stack([normals.x, normals.y, normals.z], 1)
+        if pad:
+            Cd = jnp.concatenate([Cd, jnp.zeros((pad, 3), Cd.dtype)])
+            padn = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]], Nd.dtype),
+                            (pad, 1))
+            Nd = jnp.concatenate([Nd, padn])
+
+        @jax.jit
+        def all_chunks(key):
+            def one(carry, i):
+                k = jax.random.fold_in(key, i)
+                res = trace_rays(k, scene, source, n_rays * chunk, cfg)
+                owner = jnp.arange(n_rays * chunk) // n_rays
+                c = jax.lax.dynamic_slice_in_dim(Cd, i * chunk, chunk)
+                nn = jax.lax.dynamic_slice_in_dim(Nd, i * chunk, chunk)
+                cen = Vec3(c[owner, 0], c[owner, 1], c[owner, 2])
+                nrm = Vec3(nn[owner, 0], nn[owner, 1], nn[owner, 2])
+                # forward-segment disk test (hits_insphere_disk, pairwise)
+                p, d = res.seg_start, res.direction
+                dot = d.dot(nrm)
+                t = -(p - cen).dot(nrm) / jnp.where(dot == 0, 1.0, dot)
+                hp = p + d.scale(t)
+                r2 = (hp - cen).norm2()
+                ok = ((jnp.abs(dot) >= PARALLEL_EPS) & (t >= 0)
+                      & (r2 <= disk_radius * disk_radius)
+                      & (res.status == EXITED))
+                return carry, jnp.sum(ok.reshape(chunk, n_rays), axis=1,
+                                      dtype=jnp.int32)
+
+            _, counts = jax.lax.scan(one, jnp.zeros((), jnp.int32),
+                                     jnp.arange(n_chunks))
+            return counts.reshape(-1)[:P]
+
+        frac = np.asarray(all_chunks(key), np.float64) / n_rays
     else:
         @jax.jit
         def allpos(key):

@@ -229,11 +229,12 @@ def main():
         sub_shape = dataclasses.replace(grid, n_theta=rows_per_call)
         C, Nrm = grid_centers_normals(grid, scene.exit_port_z)
         P_sub = rows_per_call * grid.n_phi
-        # chunk 64 positions/scan step = 3.2M rays per device iteration:
-        # amortises the per-step fixed cost of the rim machinery
-        # (clip test + compaction) over a bigger batch
+        # chunk 32 positions/scan step = 1.6M rays per device iteration.
+        # Measured curve (v5e, recursive-hybrid rim): 16/32/45 ~1.15 s,
+        # 64 ~1.23 s per 10 rows, then a cliff (90 -> 2.9 s, memory
+        # pressure past ~4M rays/step) — 32 sits on the flat optimum.
         run_sub = jax.jit(lambda k, c, n: fluxmap_retrace(
-            k, scene, src, sub_shape, 50_000, cfg, pos_chunk=64,
+            k, scene, src, sub_shape, 50_000, cfg, pos_chunk=32,
             centers_normals=(c, n)).sum())
         # one compile serves every sub-grid (placement is dynamic)
         _readback(run_sub(jax.random.key(4), C[:P_sub], Nrm[:P_sub]))
