@@ -156,8 +156,17 @@ def trace_direct_from_state(
     q1 = sphere_hit(pos0, dir0, radius)
     esc1 = q1.z < cos_cap
 
-    # one fused threefry call for all seven per-lane uniforms
-    u = jax.random.uniform(key, (7,) + shape, dtype)
+    # one fused threefry call for all seven per-lane uniforms — or, with
+    # cfg.qmc, one digitally-shifted Sobol block: the chain consumes a
+    # FIXED 7 dimensions per ray, so low-discrepancy sampling applies
+    # directly (impossible for the simulators' unbounded streams); each
+    # key gives a fresh unbiased randomisation (core/qmc.py)
+    if cfg.qmc:
+        from .qmc import sobol_uniforms
+
+        u = sobol_uniforms(key, n_rays, 7, dtype)
+    else:
+        u = jax.random.uniform(key, (7,) + shape, dtype)
     u_s1, u_g, u_term, u_pz, u_pphi, u_qz, u_qphi = u
 
     f = (1.0 + cos_tm) * 0.5          # cap area fraction = escape prob/flight
