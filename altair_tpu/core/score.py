@@ -340,6 +340,7 @@ def fluxmap_retrace_binomial(
     oversample: int = 128,
     pos_chunk: int | None = None,
     method: str = "mxu",
+    qmc: bool = True,
 ):
     """Retrace-statistics flux map sampled from the per-position binomial
     law instead of 8.1x10^8 independent traces.
@@ -374,8 +375,16 @@ def fluxmap_retrace_binomial(
     default; this engine is the production fast path when ~1% excess
     variance is acceptable — it replaces ~10^9 traces with ``M`` of them.
 
+    ``qmc=True`` (default) draws the SHARED sample with the Sobol option
+    where the direct engine applies (see ``core/qmc.py``): pi_hat's error
+    only shrinks (stratification, marginals exactly uniform), so the
+    stated 1/oversample excess-variance contract becomes conservative
+    while the per-cell binomial draws stay independent.
+
     Returns ``[n_theta, n_phi]`` int32 hit counts (cells <= n_per_pos).
     """
+    import dataclasses
+
     if oversample < 2:
         raise ValueError("oversample must be >= 2 (n/M < 1 is meaningless)")
     M = int(oversample) * int(n_per_pos)
@@ -383,6 +392,8 @@ def fluxmap_retrace_binomial(
     if pos_chunk is None:
         # bound the [cap, pos_chunk] f32 matmul output to ~1 GB
         pos_chunk = max(8, min(1080, (1 << 28) // max(cap, 1)))
+    if qmc and not cfg.qmc:
+        cfg = dataclasses.replace(cfg, qmc=1)
     k_trace, k_draw = jax.random.split(jax.random.fold_in(key, 0x51))
     res = trace_rays(k_trace, scene, source, M, cfg)
     counts_M, overflow = fluxmap_trace_once_compact(

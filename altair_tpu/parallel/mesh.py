@@ -436,6 +436,7 @@ def sharded_retrace_binomial(
     cfg: TraceConfig = TraceConfig(),
     oversample: int = 128,
     pos_chunk: int | None = None,
+    qmc: bool = True,
 ):
     """Multi-chip binomial retrace (docs/PARITY.md §9): each chip traces
     ``oversample * n_rays_per_pos / n_devices`` of the shared sample and
@@ -449,12 +450,18 @@ def sharded_retrace_binomial(
     from ..core.score import (
         exit_capacity, fluxmap_trace_once_compact)
 
+    import dataclasses
+
     n_dev = mesh.devices.size
     M = int(oversample) * int(n_rays_per_pos)
     if M % n_dev:
         raise ValueError("oversample * n_rays_per_pos must divide over "
                          "devices")
     m_local = M // n_dev
+    if qmc and not cfg.qmc:
+        # Sobol shared sample (core/qmc.py) — per-shard keys give each
+        # chip an independent digital shift, so shards stay independent
+        cfg = dataclasses.replace(cfg, qmc=1)
     cap = exit_capacity(scene, m_local)
     if pos_chunk is None:
         pos_chunk = max(8, min(1080, (1 << 28) // max(cap, 1)))

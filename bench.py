@@ -88,6 +88,22 @@ def main():
         scene.with_(exact_rim=False))
     wall_sim, times_k, exit_frac_k, _ = measure(scene, engine="simulate")
 
+    # the binomial retrace engine: the FULL 16,200-cell retrace-statistics
+    # map (reference: 7,926-14,774 s of 8.1e8 traces) from one shared
+    # sample — reported alongside so BENCH_r* carries the retrace story
+    from altair_tpu.core.score import fluxmap_retrace_binomial
+
+    fb = jax.jit(lambda k: fluxmap_retrace_binomial(
+        k, scene, source, grid, 50_000, cfg, oversample=128))
+    int(fb(key(0)).sum())  # compile + warm
+    tb = []
+    for i in range(args.repeats):
+        t0 = time.perf_counter()
+        int(fb(key(i + 1)).sum())
+        tb.append(time.perf_counter() - t0)
+    wall_binom = min(tb)
+    retrace_baseline_s = 7926.4  # reference sweepDetector best, BASELINE.md
+
     sys.stderr.write(
         f"# device={jax.devices()[0].device_kind} times={times} "
         f"exit_frac={exit_frac:.4f} (corpus 0.423-0.428) "
@@ -107,6 +123,9 @@ def main():
         "simple_mode_vs_baseline": round(baseline_best_s / wall_simple, 2),
         "simulate_engine_value": round(wall_sim, 6),
         "simulate_engine_vs_baseline": round(baseline_best_s / wall_sim, 2),
+        "retrace_binomial_value": round(wall_binom, 6),
+        "retrace_binomial_vs_baseline": round(
+            retrace_baseline_s / wall_binom, 2),
     }))
 
 
