@@ -207,10 +207,11 @@ class TraceConfig:
                                      # default (used via make_key())
     keep_history: int = 0            # >0: record up to N path points (viz only)
     engine: str = "auto"             # "auto" | "simulate" | "direct"
-    qmc: int = 0                     # 1: Sobol low-discrepancy draws in the
-                                     # direct sampler (digitally shifted per
-                                     # key; better-than-1/sqrt(N) accuracy
-                                     # on smooth observables — core/qmc.py)
+    qmc: int = 0                     # 1: digitally-shifted Sobol draws in
+                                     # the direct sampler; 2: Owen-scrambled
+                                     # (better on discontinuous observables).
+                                     # Better-than-1/sqrt(N) accuracy on
+                                     # smooth observables — core/qmc.py
 
 
 _register(TraceConfig, data_fields=[], meta_fields=[

@@ -107,16 +107,56 @@ def sobol_bits(n: int, dim: int) -> jax.Array:
         0, min(_BITS, n_bits), body, jnp.zeros((dim, n), jnp.uint32))
 
 
-def sobol_uniforms(key: jax.Array, n: int, dim: int,
-                   dtype=jnp.float32) -> jax.Array:
-    """``[dim, n]`` digitally-shifted Sobol uniforms in [0, 1).
+def _reverse_bits32(x: jax.Array) -> jax.Array:
+    """Bit-reverse each uint32 (the classic 5-step swap network)."""
+    u = jnp.uint32
+    x = ((x & u(0x55555555)) << u(1)) | ((x >> u(1)) & u(0x55555555))
+    x = ((x & u(0x33333333)) << u(2)) | ((x >> u(2)) & u(0x33333333))
+    x = ((x & u(0x0F0F0F0F)) << u(4)) | ((x >> u(4)) & u(0x0F0F0F0F))
+    x = ((x & u(0x00FF00FF)) << u(8)) | ((x >> u(8)) & u(0x00FF00FF))
+    return (x << u(16)) | (x >> u(16))
 
-    ``key`` selects the per-dimension random XOR shift (a fresh unbiased
-    randomisation per key; pass the same per-batch key the pseudorandom
-    path would use).  Conversion keeps the top 24 bits so every value is
-    exactly representable in f32.
+
+def _laine_karras(x: jax.Array, seed: jax.Array) -> jax.Array:
+    """Laine-Karras hash permutation (Burley, JCGT 2020 "Practical
+    Hash-based Owen Scrambling"): in bit-reversed space, every operation
+    only propagates information toward higher bits, so in original space
+    each output bit depends on the more-significant input bits — a valid
+    nested (Owen) permutation selected by ``seed``."""
+    u = jnp.uint32
+    x = x + seed
+    x = x ^ (x * u(0x6C50B47C))
+    x = x ^ (x * u(0xB82F1E52))
+    x = x ^ (x * u(0xC7AFE638))
+    x = x ^ (x * u(0x8D22F6E6))
+    return x
+
+
+def sobol_uniforms(key: jax.Array, n: int, dim: int,
+                   dtype=jnp.float32, mode: str = "shift") -> jax.Array:
+    """``[dim, n]`` randomised Sobol uniforms in [0, 1).
+
+    ``key`` selects the per-dimension randomisation — a fresh unbiased
+    replicate per key (pass the same per-batch key the pseudorandom path
+    would use).  ``mode``:
+
+    * ``"shift"`` — random digital shift (XOR a 32-bit word per dim):
+      cheapest, keeps plain Sobol's box-counting discrepancy.
+    * ``"owen"`` — hash-based Owen scrambling (Laine-Karras permutation
+      per dim, independent seeds): breaks Sobol's diagonal alignment
+      artifacts and improves convergence on discontinuous observables
+      (flux-map cells); ~2x the generation cost of shift.
+
+    Conversion keeps the top 24 bits so every value is exactly
+    representable in f32.
     """
-    shift = jax.random.bits(key, (dim, 1), jnp.uint32)
-    x = sobol_bits(n, dim) ^ shift
+    x = sobol_bits(n, dim)
+    if mode == "shift":
+        x = x ^ jax.random.bits(key, (dim, 1), jnp.uint32)
+    elif mode == "owen":
+        seeds = jax.random.bits(key, (dim, 1), jnp.uint32)
+        x = _reverse_bits32(_laine_karras(_reverse_bits32(x), seeds))
+    else:
+        raise ValueError(f"qmc mode {mode!r} (want 'shift' or 'owen')")
     return ((x >> jnp.uint32(8)).astype(dtype)
             * dtype(1.0 / (1 << 24)))

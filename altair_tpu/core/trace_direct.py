@@ -164,7 +164,8 @@ def trace_direct_from_state(
     if cfg.qmc:
         from .qmc import sobol_uniforms
 
-        u = sobol_uniforms(key, n_rays, 7, dtype)
+        u = sobol_uniforms(key, n_rays, 7, dtype,
+                           mode="owen" if cfg.qmc >= 2 else "shift")
     else:
         u = jax.random.uniform(key, (7,) + shape, dtype)
     u_s1, u_g, u_term, u_pz, u_pphi, u_qz, u_qphi = u

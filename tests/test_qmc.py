@@ -135,3 +135,41 @@ def test_qmc_composes_with_rim_deferral():
 def test_dim_cap():
     with pytest.raises(ValueError):
         qmc.sobol_bits(8, qmc.MAX_DIM + 1)
+
+
+def test_owen_uniform_marginals_and_accuracy():
+    """qmc=2 (hash-based Owen scrambling): marginals stay uniform, the
+    elementary-interval structure survives (every dyadic bin of size
+    n gets exactly one point per dimension), and the exit-fraction RMSE
+    keeps the QMC gain."""
+    from scipy.stats import kstest
+
+    n = 1 << 12
+    u = np.asarray(qmc.sobol_uniforms(jax.random.key(9), n, 7,
+                                      mode="owen"))
+    for d in range(7):
+        assert kstest(u[d], "uniform").pvalue > 1e-4, d
+        # a (0,1)-sequence scrambled by ANY nested permutation keeps one
+        # point per dyadic interval of width 1/n in every dimension
+        counts = np.bincount((u[d] * n).astype(np.int64), minlength=n)
+        assert counts.max() == 1, d
+
+    truth = chain_exit_prob(SCENE)
+    run = jax.jit(lambda k: jnp.mean(
+        (trace_rays_direct(k, SCENE, SOURCE_OVERNIGHT, n,
+                           TraceConfig(qmc=2)).status
+         == EXITED).astype(jnp.float32)))
+    est = np.array([float(run(jax.random.key(300 + i))) for i in range(16)])
+    rmse = float(np.sqrt(np.mean((est - truth) ** 2)))
+    sem_mc = float(np.sqrt(truth * (1 - truth) / n))
+    assert rmse < 0.5 * sem_mc, (rmse, sem_mc)
+
+
+def test_owen_differs_from_shift():
+    a = np.asarray(qmc.sobol_uniforms(jax.random.key(1), 64, 7,
+                                      mode="owen"))
+    b = np.asarray(qmc.sobol_uniforms(jax.random.key(1), 64, 7,
+                                      mode="shift"))
+    assert np.abs(a - b).max() > 0.01
+    with pytest.raises(ValueError):
+        qmc.sobol_uniforms(jax.random.key(1), 8, 2, mode="bogus")
