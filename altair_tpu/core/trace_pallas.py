@@ -786,7 +786,11 @@ def trace_rays_refill(
 
 # batches at least this big route to the refill kernel (B=4 measured +19%
 # over the plain block kernel at 4M rays on v5e; below this the padding
-# granularity of BLOCK*4 and the fixed dispatch cost dominate)
+# granularity of BLOCK*4 and the fixed dispatch cost dominate).
+# Sensitivity re-measured 2026-08-17 at 16M rays, simple mode: budget
+# 2/4/8 -> 21.5/25.9/24.6 M rays/s, INNER_ITERS 64 vs 128 within noise —
+# the shipped (4, 64) sits on the optimum.  Through trace_rays_auto with
+# the exact-rim post-pass the same workload lands at ~16.6 M rays/s.
 REFILL_MIN = 1 << 20
 _REFILL_BUDGET = 4
 
