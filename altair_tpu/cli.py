@@ -38,6 +38,17 @@ def _add_scene_args(p: argparse.ArgumentParser):
     p.add_argument("--dir", type=float, nargs=3, default=[5.0, 0.0, 0.0],
                    metavar=("DX", "DY", "DZ"))
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--qmc", type=int, default=0, choices=[0, 1, 2],
+                   help="Sobol low-discrepancy draws in the direct "
+                        "sampler: 1=digital shift, 2=Owen-scrambled "
+                        "(~1/N accuracy on smooth observables; "
+                        "docs/ENGINES.md)")
+
+
+def _cfg(args):
+    from .config import TraceConfig
+
+    return TraceConfig(qmc=args.qmc)
 
 
 def _scene_source(args):
@@ -61,18 +72,19 @@ def cmd_fluxmap(args):
     from .sweep import sweep_detector_retrace, sweep_detector_trace_once
 
     scene, source = _scene_source(args)
+    cfg = _cfg(args)
     grid = DetectorGrid(n_theta=args.theta_bins, n_phi=args.phi_bins,
                         width=args.detector_size, height=args.detector_size)
     if args.method == "trace-once":
         res = sweep_detector_trace_once(
             scene, source, n_rays=args.rays, grid=grid, seed=args.seed,
-            save_folder=args.out, notify=args.notify)
+            cfg=cfg, save_folder=args.out, notify=args.notify)
     else:
         res = sweep_detector_retrace(
             scene, source, n_rays_per_pos=args.rays, grid=grid,
-            seed=args.seed, save_folder=args.out, notify=args.notify,
-            resume_path=args.resume, engine=args.retrace_engine,
-            oversample=args.oversample)
+            seed=args.seed, cfg=cfg, save_folder=args.out,
+            notify=args.notify, resume_path=args.resume,
+            engine=args.retrace_engine, oversample=args.oversample)
     print(f"total {res.total_time_s:.3f}s  trace {res.trace_time_s:.3f}s")
     return 0
 
@@ -85,7 +97,8 @@ def cmd_series(args):
         from .sweep import run_series_vmapped
 
         counts, exits = run_series_vmapped(
-            scene, source, port_angles=args.port_angles, n_rays=args.rays)
+            scene, source, port_angles=args.port_angles, n_rays=args.rays,
+            cfg=_cfg(args))
         for p, e in zip(args.port_angles, exits):
             print(f"port {p}: exit fraction {e / args.rays:.4f}")
         import os
@@ -99,7 +112,7 @@ def cmd_series(args):
 
         run_series(scene, source, port_angles=args.port_angles,
                    repeats=args.repeats, n_rays=args.rays,
-                   save_root=args.out)
+                   save_root=args.out, cfg=_cfg(args))
     return 0
 
 
@@ -107,7 +120,8 @@ def cmd_distribution(args):
     from .sweep import run_distribution, write_angular_dist, write_ray_log
 
     scene, source = _scene_source(args)
-    d = run_distribution(scene, source, n_rays=args.rays, seed=args.seed)
+    d = run_distribution(scene, source, n_rays=args.rays, seed=args.seed,
+                         cfg=_cfg(args))
     print(f"Flux of rays through the exit port: {d.n_exited}")
     if args.ray_log:
         write_ray_log(args.ray_log, d.directions)
@@ -124,7 +138,7 @@ def cmd_insphere(args):
     r = sweep_insphere_detector(
         scene, source, disk_radius=args.disk_radius, n_rays=args.rays,
         dtheta=args.dtheta, theta_max=args.theta_max,
-        save_path=args.out_file, retrace=args.retrace)
+        save_path=args.out_file, retrace=args.retrace, cfg=_cfg(args))
     print(f"{len(r.thetas)} positions in {r.wall_time_s:.2f}s -> "
           f"{args.out_file}")
     return 0
@@ -160,7 +174,7 @@ def cmd_scatter_retrace(args):
     grid = DetectorGrid(n_theta=args.theta_bins, n_phi=args.phi_bins,
                         width=args.detector_size, height=args.detector_size)
     sw = sweep_scatter_retrace(scene, source, n_rays=args.rays, grid=grid,
-                               seed=args.seed)
+                               seed=args.seed, cfg=_cfg(args))
     np.savetxt(args.out_file,
                np.column_stack([
                    np.repeat((np.arange(grid.n_theta) + 0.5)

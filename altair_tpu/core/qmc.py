@@ -22,9 +22,12 @@ Opt-in via ``TraceConfig(qmc=1)``: rays within one ``trace_rays_direct``
 batch become stratified rather than independent (the POINT of QMC), so
 downstream per-cell variances shrink — anything that assumed i.i.d. rays
 (e.g. binomial-sem tolerances) becomes conservative, never wrong in the
-mean.  The deferred-rim continuation keeps its pseudorandom draws (its
-state space is not the pristine unit cube), so exact-rim scenes get QMC
-on the ~98% main phase only.
+mean.  The deferred-rim continuation's closed-form finish draws from the
+same Sobol block under a fresh shift (marginals exactly uniform and
+independent of the lane states, so the law is unchanged; the full
+low-discrepancy benefit applies only to the pristine main phase —
+continuation lanes arrive compacted with correlated states); the
+continuation's 16 in-loop prefix iterations stay pseudorandom.
 """
 
 from __future__ import annotations

@@ -16,7 +16,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from ..config import DetectorGrid, SphereScene, Source, TraceConfig
+from ..config import DetectorGrid, SphereScene, Source, SurfaceModel, TraceConfig
 from .geometry import Vec3, detector_position, line_hits_disk
 from .trace import EXITED, TraceResult
 from .trace_waves import trace_rays_auto as trace_rays
@@ -222,11 +222,19 @@ def exit_capacity(scene: SphereScene, n_rays: int, sigmas: float = 6.0,
                   margin: float = 1.05) -> int:
     """Static upper bound on the exit count for compaction: expected
     exit fraction p/(p + 1-rho) plus ``sigmas`` binomial deviations and a
-    relative margin.  Requires concrete scene parameters."""
+    relative margin.  Requires concrete scene parameters.
+
+    The closed-form estimate is the LAMBERTIAN roulette-walk law; other
+    scatter models (a near-specular chain can funnel almost every ray out
+    the port) get no compaction bound — the full batch is returned, which
+    disables the shrink but can never overflow."""
     import math
 
     from ..config import expected_exit_fraction
 
+    if callable(scene.surface_model) or \
+            SurfaceModel(scene.surface_model) != SurfaceModel.LAMBERTIAN:
+        return n_rays
     p = expected_exit_fraction(scene.theta_max_deg, scene.reflectance)
     cap = p * n_rays * margin + sigmas * math.sqrt(
         max(p * (1 - p) * n_rays, 1.0))
@@ -398,10 +406,22 @@ def fluxmap_retrace_binomial(
     res = trace_rays(k_trace, scene, source, M, cfg)
     counts_M, overflow = fluxmap_trace_once_compact(
         res, grid, cap, scene.exit_port_z, pos_chunk, method)
-    # capacity is a >=6-sigma bound; bump pi_hat by the (statistically
-    # impossible) unscored overflow so the estimate stays conservative
+    return binomial_cells_from_counts(k_draw, counts_M, overflow, M,
+                                      n_per_pos, grid.n_positions)
+
+
+def binomial_cells_from_counts(k_draw, counts_M, overflow, M: int,
+                               n_per_pos: int, n_positions: int):
+    """The draw stage shared by the single-chip and sharded binomial
+    retrace engines: counts from the shared M-ray sample -> pi_hat ->
+    independent Binomial(n, pi_hat) per cell.
+
+    ``overflow``: unscored exits beyond the compaction capacity — a
+    >=6-sigma-impossible event (``exit_capacity``); bump pi_hat by it
+    spread over the cells so the estimate stays conservative rather than
+    silently low."""
     pi_hat = (counts_M.astype(jnp.float32)
-              + overflow.astype(jnp.float32) / grid.n_positions) / M
+              + overflow.astype(jnp.float32) / n_positions) / M
     draws = jax.random.binomial(k_draw, float(n_per_pos),
                                 jnp.clip(pi_hat, 0.0, 1.0))
     return jnp.nan_to_num(draws).astype(jnp.int32)
@@ -487,14 +507,19 @@ def insphere_disk_position(theta_deg, phi_deg, radius=200.0,
     return Vec3(cx, cy, cz), normal
 
 
-def hits_insphere_disk(result: TraceResult, center: Vec3, normal: Vec3,
-                       disk_radius) -> jax.Array:
-    """Physical focal-surface hit: the disk participates in the geometry
-    (absorbs the ray), so unlike the observer test the intersection must lie
-    FORWARD on the final segment (t >= 0).  Because the disk sits outside the
-    sphere (r=200 > shell radii), it can only intercept port-exiting rays —
-    a forward segment test is exactly equivalent to the reference's
-    node-history scan (``integratingSphereDetectorSweep.C:134-143``)."""
+def insphere_disk_hit_mask(result: TraceResult, center: Vec3, normal: Vec3,
+                           disk_radius) -> jax.Array:
+    """Per-ray bool: the final segment hits the focal-surface disk.
+
+    ``center``/``normal`` broadcast — pass scalars for one disk or
+    per-ray Vec3 arrays for a batched sweep (the chunked retrace path of
+    ``sweep_insphere_detector`` gathers a disk per ray).  The disk
+    participates in the geometry (absorbs the ray), so unlike the
+    observer test the intersection must lie FORWARD on the final segment
+    (t >= 0).  Because the disk sits outside the sphere (r=200 > shell
+    radii), it can only intercept port-exiting rays — a forward segment
+    test is exactly equivalent to the reference's node-history scan
+    (``integratingSphereDetectorSweep.C:134-143``)."""
     p = result.seg_start
     d = result.direction
     dot = d.dot(normal)
@@ -503,6 +528,12 @@ def hits_insphere_disk(result: TraceResult, center: Vec3, normal: Vec3,
     hit_pt = p + d.scale(t)
     r2 = (hit_pt - center).norm2()
     exited = result.status == EXITED
-    ok = (jnp.abs(dot) >= PARALLEL_EPS) & (t >= 0) & \
-         (r2 <= disk_radius * disk_radius) & exited
-    return jnp.sum(ok, dtype=jnp.int32)
+    return (jnp.abs(dot) >= PARALLEL_EPS) & (t >= 0) & \
+        (r2 <= disk_radius * disk_radius) & exited
+
+
+def hits_insphere_disk(result: TraceResult, center: Vec3, normal: Vec3,
+                       disk_radius) -> jax.Array:
+    """Hit count for one disk position (see ``insphere_disk_hit_mask``)."""
+    return jnp.sum(insphere_disk_hit_mask(result, center, normal,
+                                          disk_radius), dtype=jnp.int32)

@@ -306,6 +306,10 @@ def trace_rays_jit(key, scene, source, n_rays, cfg=TraceConfig()):
 
 # continuations at least this wide wave-compact their own bounce tail
 _WAVES_CONTINUATION_MIN = 65536
+# hybrid-continuation tails at least this wide recurse into the hybrid
+# instead of running the in-loop kernel to extinction (module constant so
+# tests can lower it and exercise the recursive branch at small N)
+HYBRID_RECURSE_MIN = 32768
 
 
 def rim_deferred_capacity_shift(scene: SphereScene) -> int | None:
@@ -442,7 +446,7 @@ def _rim_continuation_hybrid(key, scene, carry, cfg, radius, r_out, cos_tm,
     carry2 = (gv(t_pos), gv(t_dir), gv(t_prev),
               jnp.where(valid2, RUNNING, ABSORBED).astype(jnp.int32),
               g(t_bounces), valid2)
-    if depth < 2 and m2 >= 32768:
+    if depth < 2 and m2 >= HYBRID_RECURSE_MIN:
         (pos2, dir2, prev2, status2, bounces2,
          ovf3) = _rim_continuation_hybrid(k_tail, scene, carry2, cfg,
                                           radius, r_out, cos_tm, INF,

@@ -301,6 +301,9 @@ def _param_sweep_tracer(scenes: SphereScene, cfg: TraceConfig):
 
     if cfg.keep_history or cfg.engine == "simulate" or \
             not direct_applicable(scenes, cfg):
+        if cfg.engine == "direct":
+            raise NotImplementedError(
+                "engine='direct' requires a statically-Lambertian scene")
         return _trace_plain
     if not scenes.exact_rim:
         return trace_rays_direct
@@ -308,8 +311,12 @@ def _param_sweep_tracer(scenes: SphereScene, cfg: TraceConfig):
         shifts = [rim_deferred_capacity_shift(sc)
                   for sc in _member_scenes(scenes)]
     except (TypeError, jax.errors.TracerArrayConversionError):
-        return _trace_plain  # traced members: capacity can't be planned
+        shifts = [None]  # traced members: capacity can't be planned
     if any(s is None for s in shifts):
+        if cfg.engine == "direct":
+            raise NotImplementedError(
+                "engine='direct': a member's rim does not admit the "
+                "deferred post-pass (thick rim band or traced params)")
         return _trace_plain
     shift = min(shifts)
 
@@ -448,10 +455,13 @@ def sharded_retrace_binomial(
     sample is simply sharded.  Returns ``[n_theta, n_phi]`` int32 counts.
     """
     from ..core.score import (
-        exit_capacity, fluxmap_trace_once_compact)
+        binomial_cells_from_counts, exit_capacity,
+        fluxmap_trace_once_compact)
 
     import dataclasses
 
+    if oversample < 2:
+        raise ValueError("oversample must be >= 2 (n/M < 1 is meaningless)")
     n_dev = mesh.devices.size
     M = int(oversample) * int(n_rays_per_pos)
     if M % n_dev:
@@ -482,11 +492,8 @@ def sharded_retrace_binomial(
             res, grid, cap, scene.exit_port_z, pos_chunk)
         counts = jax.lax.psum(counts, RAY_AXIS)
         overflow = jax.lax.psum(overflow, RAY_AXIS)
-        pi_hat = (counts.astype(jnp.float32)
-                  + overflow.astype(jnp.float32) / grid.n_positions) / M
-        draws = jax.random.binomial(k_draw, float(n_rays_per_pos),
-                                    jnp.clip(pi_hat, 0.0, 1.0))
-        return jnp.nan_to_num(draws).astype(jnp.int32)
+        return binomial_cells_from_counts(k_draw, counts, overflow, M,
+                                          n_rays_per_pos, grid.n_positions)
 
     return run(key, scene, source)
 

@@ -85,8 +85,7 @@ def sweep_insphere_detector(
         # (integratingSphereDetectorSweep.C:31-105).  Positions stay
         # statistically independent: disjoint lanes, key folded per chunk.
         from ..core.geometry import Vec3
-        from ..core.score import PARALLEL_EPS
-        from ..core.trace import EXITED
+        from ..core.score import insphere_disk_hit_mask
 
         P = len(tt)
         chunk = min(pos_chunk, P)
@@ -110,15 +109,7 @@ def sweep_insphere_detector(
                 nn = jax.lax.dynamic_slice_in_dim(Nd, i * chunk, chunk)
                 cen = Vec3(c[owner, 0], c[owner, 1], c[owner, 2])
                 nrm = Vec3(nn[owner, 0], nn[owner, 1], nn[owner, 2])
-                # forward-segment disk test (hits_insphere_disk, pairwise)
-                p, d = res.seg_start, res.direction
-                dot = d.dot(nrm)
-                t = -(p - cen).dot(nrm) / jnp.where(dot == 0, 1.0, dot)
-                hp = p + d.scale(t)
-                r2 = (hp - cen).norm2()
-                ok = ((jnp.abs(dot) >= PARALLEL_EPS) & (t >= 0)
-                      & (r2 <= disk_radius * disk_radius)
-                      & (res.status == EXITED))
+                ok = insphere_disk_hit_mask(res, cen, nrm, disk_radius)
                 return carry, jnp.sum(ok.reshape(chunk, n_rays), axis=1,
                                       dtype=jnp.int32)
 

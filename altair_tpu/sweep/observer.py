@@ -199,6 +199,11 @@ def sweep_detector_retrace(
     call, so chunked flushing and ``resume_path`` do not apply."""
     validate(scene, source)
     if engine == "binomial":
+        if resume_path is not None:
+            raise ValueError(
+                "engine='binomial' runs the whole map in one device call "
+                "— there is no chunked flush to resume; drop resume_path "
+                "(re-running is cheaper than the partial CSV)")
         return _retrace_binomial(scene, source, n_rays_per_pos, grid, seed,
                                  cfg, save_folder, notify, verbose,
                                  oversample)

@@ -103,12 +103,19 @@ def _series_tracer(base_scene: SphereScene, port_angles, cfg: TraceConfig):
     from ..core.trace_direct import direct_applicable, trace_rays_direct
 
     if not direct_applicable(base_scene, cfg) or cfg.engine == "simulate":
+        if cfg.engine == "direct":
+            raise NotImplementedError(
+                "engine='direct' requires a statically-Lambertian scene")
         return trace_rays
     if not base_scene.exact_rim:
         return trace_rays_direct
     shifts = [rim_deferred_capacity_shift(
         base_scene.with_(theta_max_deg=float(p))) for p in port_angles]
     if any(s is None for s in shifts):
+        if cfg.engine == "direct":
+            raise NotImplementedError(
+                "engine='direct': a member's rim does not admit the "
+                "deferred post-pass (thick rim band)")
         return trace_rays  # a member needs the in-loop rim kernel
     shift = min(shifts)
 

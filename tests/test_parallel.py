@@ -188,6 +188,25 @@ class TestShardedRetrace:
         assert (np.abs(counts - ref) < sigma).all()
 
 
+class TestShardedBinomialValidation:
+    def test_oversample_check(self, mesh):
+        from altair_tpu.parallel import sharded_retrace_binomial
+
+        with pytest.raises(ValueError):
+            sharded_retrace_binomial(
+                mesh, jax.random.key(0), SCENE, SOURCE_OVERNIGHT,
+                DetectorGrid(n_theta=2, n_phi=2), 4_000, CFG, oversample=1)
+
+    def test_param_sweep_direct_contract(self):
+        from altair_tpu.config import SurfaceModel
+        from altair_tpu.parallel.mesh import _param_sweep_tracer
+
+        spec = stack_scenes(SCENE.with_(surface_model=SurfaceModel.SPECULAR),
+                            theta_max_deg=jnp.array([170.0]))
+        with pytest.raises(NotImplementedError):
+            _param_sweep_tracer(spec, TraceConfig(engine="direct"))
+
+
 class TestParamSweepDispatch:
     def test_direct_engine_planned_from_concrete_members(self):
         """sharded_param_sweep must dispatch the direct sampler when every

@@ -210,6 +210,19 @@ class TestCompactScorer:
         cap170 = score.exit_capacity(SCENE, 100_000)
         assert 43_000 < cap170 < 50_000
 
+    def test_capacity_non_lambertian_no_shrink(self):
+        """The closed-form capacity estimate is the LAMBERTIAN walk law; a
+        near-specular chain can funnel ~every ray out the port, so other
+        models must get the full batch (review finding: the binomial
+        engine silently smeared the overflow otherwise)."""
+        from altair_tpu.config import SurfaceModel
+        for m in (SurfaceModel.SPECULAR, SurfaceModel.MIXED_BRDF,
+                  SurfaceModel.COS_N_LOBE):
+            assert score.exit_capacity(
+                SCENE.with_(surface_model=m), 100_000) == 100_000
+        assert score.exit_capacity(
+            SCENE.with_(surface_model=lambda *a: None), 1000) == 1000
+
 
 class TestMxuScorer:
     """The Plucker-quadratic MXU scorer vs the exact per-pair arithmetic.

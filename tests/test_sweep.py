@@ -160,6 +160,42 @@ class TestSeries:
         thick = SCENE.with_(outer_radius=105.0, reflectance=1.0)
         assert _series_tracer(thick, [170.0], TraceConfig()) is plain
 
+    def test_vmapped_series_specular_scene(self):
+        """Non-Lambertian series must not hit the compaction-overflow
+        guard (review finding: the Lambertian capacity formula undersized
+        the buffer for a near-specular chain whose exit fraction ~ rho)."""
+        from altair_tpu.config import SurfaceModel
+
+        scene = SCENE.with_(surface_model=SurfaceModel.SPECULAR,
+                            max_bounces=1024)
+        counts, exits = run_series_vmapped(
+            scene, SOURCE_OVERNIGHT, port_angles=[170.0], n_rays=4_000,
+            grid=DetectorGrid(n_theta=2, n_phi=2), seed=9)
+        # a specular sphere funnels far more flux out than Lambertian
+        assert exits[0] / 4_000 > 0.6
+
+    def test_direct_engine_contract_raises(self):
+        """engine='direct' must ERROR when inapplicable, not silently
+        downgrade to the simulate kernel (config.py contract)."""
+        from altair_tpu.config import SurfaceModel, TraceConfig
+        from altair_tpu.sweep.series import _series_tracer
+
+        spec = SCENE.with_(surface_model=SurfaceModel.SPECULAR)
+        with pytest.raises(NotImplementedError):
+            _series_tracer(spec, [170.0], TraceConfig(engine="direct"))
+        thick = SCENE.with_(outer_radius=105.0, reflectance=1.0)
+        with pytest.raises(NotImplementedError):
+            _series_tracer(thick, [170.0], TraceConfig(engine="direct"))
+
+    def test_binomial_rejects_resume_path(self, tmp_path):
+        p = tmp_path / "partial.csv"
+        p.write_text("theta,phi,fraction\n")
+        with pytest.raises(ValueError):
+            sweep_detector_retrace(
+                SCENE, SOURCE_OVERNIGHT, n_rays_per_pos=10,
+                grid=DetectorGrid(n_theta=2, n_phi=2), save_folder=None,
+                engine="binomial", resume_path=str(p), verbose=False)
+
     def test_vmapped_series_engines_agree(self):
         """Direct-dispatch vmapped series vs engine="simulate" on the same
         ports: exit fractions and maps agree within MC error."""

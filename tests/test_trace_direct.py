@@ -216,11 +216,19 @@ def test_hybrid_rim_continuation_matches_inloop():
     assert k2.statistic < 2.5 * 0.006 * np.sqrt(200_000 / n)
 
 
-def test_recursive_hybrid_consistent_across_buffer_sizes():
-    """At n = 600k the hybrid tail (m2 = n>>4>>3 ... >= 32768) RECURSES;
-    at n = 60k it runs the in-loop tail.  Exit fractions from the two code
-    paths must agree within MC error — catches plumbing errors in the
-    recursive scatter-back."""
+def test_recursive_hybrid_consistent_across_buffer_sizes(monkeypatch):
+    """Exercise the RECURSIVE hybrid tail (trace.py:
+    ``m2 >= HYBRID_RECURSE_MIN``): at the production threshold (32,768)
+    recursion first triggers at n ~ 4.2M — too big for a CPU test — so
+    lower the threshold to 2,048, which makes the 600k run recurse
+    (m2 = 600k>>4>>3 = 4,687 >= 2,048; its own tail 585 < 2,048 stops at
+    depth 1) while the 60k run (m2 = 468) still takes the in-loop tail.
+    Exit fractions from the two code paths must agree within MC error —
+    catches plumbing errors in the recursive scatter-back."""
+    from altair_tpu.core import trace as trace_mod
+
+    assert trace_mod.HYBRID_RECURSE_MIN == 32768  # production value
+    monkeypatch.setattr(trace_mod, "HYBRID_RECURSE_MIN", 2048)
     scene = SCENE_OPTIMIZE.with_(max_bounces=4096)  # exact_rim=True
     big, small = 600_000, 60_000
     rb = trace_rays_auto(jax.random.key(21), scene, SOURCE_OVERNIGHT, big,
