@@ -11,6 +11,7 @@ from .insphere import (  # noqa: F401
 )
 from .observer import (  # noqa: F401
     SweepResult,
+    fluxmap_replicates,
     sweep_detector_retrace,
     sweep_detector_trace_once,
     sweep_detector_twofold,

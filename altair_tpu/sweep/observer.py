@@ -167,6 +167,56 @@ def sweep_detector_trace_once(
                        total)
 
 
+def fluxmap_replicates(
+    scene: SphereScene,
+    source: Source,
+    *,
+    n_rays: int = 100_000,
+    grid: DetectorGrid = DetectorGrid(),
+    replicates: int = 8,
+    seed: int = 0,
+    cfg: TraceConfig = TraceConfig(),
+):
+    """``replicates`` independent trace-once maps in ONE device call;
+    returns ``(mean_fraction [n_theta, n_phi], sem [n_theta, n_phi])``.
+
+    The one-call equivalent of the reference's repeat-runs workflow (3-10
+    CSVs per directory averaged by ``flux_analysis.py:133-164``): the
+    replicate axis is a ``lax.map`` over folded keys, the per-cell
+    standard error of the mean comes from the replicate spread.  With
+    ``cfg.qmc`` each replicate is an independent Sobol randomisation
+    (digital shift / Owen seed), so the error bars measure the actual
+    QMC accuracy — which binomial formulas would overestimate.
+    """
+    from ..core.score import exit_capacity, fluxmap_trace_once_compact
+
+    if replicates < 2:
+        raise ValueError("need >= 2 replicates for a standard error")
+    validate(scene, source)
+    key = make_key(seed, cfg)
+    cap = exit_capacity(scene, n_rays)
+
+    @jax.jit
+    def run(key):
+        def one(i):
+            res = trace_rays(jax.random.fold_in(key, i), scene, source,
+                             n_rays, cfg)
+            counts, overflow = fluxmap_trace_once_compact(
+                res, grid, cap, scene.exit_port_z)
+            return counts, overflow
+
+        return jax.lax.map(one, jax.numpy.arange(replicates))
+
+    counts, overflow = run(key)
+    if int(np.asarray(overflow).sum()):
+        raise RuntimeError("exit-compaction overflow — statistically "
+                           "impossible at the 6-sigma capacity; investigate")
+    frac = np.asarray(counts, np.float64) / n_rays
+    mean = frac.mean(axis=0)
+    sem = frac.std(axis=0, ddof=1) / np.sqrt(replicates)
+    return mean, sem
+
+
 def sweep_detector_retrace(
     scene: SphereScene,
     source: Source,

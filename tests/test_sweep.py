@@ -218,6 +218,66 @@ class TestSeries:
         assert (np.abs(c_d / n - c_s / n) < sigma).all()
 
 
+class TestFluxmapReplicates:
+    def test_mean_and_sem_consistent(self):
+        """Replicate mean matches a lone map; per-cell sem lands near the
+        binomial prediction sqrt(p(1-p)/n)/sqrt(K) for pseudorandom
+        draws (pooled over bright cells; chi2 noise at K=6 is wide)."""
+        from altair_tpu.sweep import fluxmap_replicates
+
+        grid = DetectorGrid(n_theta=4, n_phi=3)
+        n, K = 20_000, 6
+        mean, sem = fluxmap_replicates(
+            SCENE, SOURCE_OVERNIGHT, n_rays=n, grid=grid, replicates=K,
+            seed=3)
+        assert mean.shape == sem.shape == (4, 3)
+        lone = sweep_detector_trace_once(
+            SCENE, SOURCE_OVERNIGHT, n_rays=n, grid=grid, seed=11,
+            save_folder=None, verbose=False).fluxmap
+        tol = np.sqrt(np.maximum(mean, 1e-6) / n) * 4 + 0.002
+        assert (np.abs(mean - lone) < tol).all()
+        bright = mean * n > 20
+        pred = np.sqrt(mean * (1 - mean) / n) / np.sqrt(K)
+        ratio = sem[bright].sum() / pred[bright].sum()
+        assert 0.4 < ratio < 2.2, ratio
+
+    def test_qmc_replicates_tighter_total(self):
+        """With Sobol replicates the TOTAL flux (sum of cells ~ the exit
+        fraction, a smooth observable) must carry far less replicate
+        spread than pseudorandom; per-cell gains are milder (indicator
+        functionals)."""
+        from altair_tpu.config import TraceConfig
+        from altair_tpu.sweep import fluxmap_replicates
+
+        grid = DetectorGrid(n_theta=2, n_phi=2)
+        n, K = 20_000, 6
+        scene = SCENE.with_(exact_rim=False)
+
+        def total_spread(cfg, seed):
+            from altair_tpu.core.score import exit_capacity, \
+                fluxmap_trace_once_compact
+            from altair_tpu.core.trace_waves import trace_rays_auto
+            import jax
+
+            totals = []
+            for i in range(K):
+                r = trace_rays_auto(jax.random.key(seed + i), scene,
+                                    SOURCE_OVERNIGHT, n, cfg)
+                totals.append(float(r.exited_port_mask().mean()))
+            return np.std(totals, ddof=1)
+
+        s_mc = total_spread(TraceConfig(), 100)
+        s_q = total_spread(TraceConfig(qmc=1), 200)
+        assert s_q < 0.5 * s_mc, (s_q, s_mc)
+
+    def test_replicates_validation(self):
+        from altair_tpu.sweep import fluxmap_replicates
+
+        with pytest.raises(ValueError):
+            fluxmap_replicates(SCENE, SOURCE_OVERNIGHT, n_rays=100,
+                               replicates=1)
+
+
 class TestDistribution:
     def test_run_and_write(self, tmp_path):
         d = run_distribution(SCENE_DEMO.with_(max_bounces=2048), SOURCE_DEMO,
