@@ -357,6 +357,39 @@ def rim_deferred_capacity_shift(scene: SphereScene) -> int | None:
     return shift
 
 
+def _compact_gather(mask, vecs, ints, capacity: int, n: int):
+    """Compact the lanes where ``mask`` holds into a ``capacity``-sized
+    buffer with ONE packed row gather.
+
+    Separate per-field gathers dominate the deferred-rim cost on TPU
+    (random-access HBM reads; measured ~4x slower than gathering the same
+    bytes as contiguous rows at 16M lanes on v5e) — so the fields are
+    stacked into an ``[n, k]`` matrix first (cheap sequential writes) and
+    gathered as rows.  ``ints`` ride along as floats; exact while their
+    values fit the mantissa (bounce counts <= 50,000 << 2^24).
+
+    Returns ``(idx, valid, vec_outs, int_outs)`` — ``idx`` for the
+    scatter-back, ``valid`` the real-lane mask.
+    """
+    from .compact import nonzero_indices
+
+    idx = nonzero_indices(mask, capacity, n)
+    valid = idx < n
+    safe = jnp.minimum(idx, n - 1)
+    pdt = vecs[0].x.dtype
+    cols = []
+    for v in vecs:
+        cols += [v.x, v.y, v.z]
+    cols += [a.astype(pdt) for a in ints]
+    rows = jnp.stack(cols, 1)[safe]
+    out_vecs = [Vec3(rows[:, 3 * i], rows[:, 3 * i + 1], rows[:, 3 * i + 2])
+                for i in range(len(vecs))]
+    base = 3 * len(vecs)
+    out_ints = [rows[:, base + j].astype(jnp.int32)
+                for j in range(len(ints))]
+    return idx, valid, out_vecs, out_ints
+
+
 def _rim_continuation_hybrid(key, scene, carry, cfg, radius, r_out, cos_tm,
                              INF, depth: int = 0):
     """Finish the deferred-rim continuation buffer with the closed-form
@@ -433,19 +466,11 @@ def _rim_continuation_hybrid(key, scene, carry, cfg, radius, r_out, cos_tm,
 
     m2 = min(m, max(256, m >> 3))
     n_overflow2 = jnp.maximum(jnp.sum(cont, dtype=jnp.int32) - m2, 0)
-    idx2 = jnp.nonzero(cont, size=m2, fill_value=m)[0]
-    valid2 = idx2 < m
-    safe2 = jnp.minimum(idx2, m - 1)
-
-    def g(a):
-        return a[safe2]
-
-    def gv(v: Vec3) -> Vec3:
-        return Vec3(g(v.x), g(v.y), g(v.z))
-
-    carry2 = (gv(t_pos), gv(t_dir), gv(t_prev),
+    idx2, valid2, (g_pos, g_dir, g_prev), (g_bounces,) = _compact_gather(
+        cont, [t_pos, t_dir, t_prev], [t_bounces], m2, m)
+    carry2 = (g_pos, g_dir, g_prev,
               jnp.where(valid2, RUNNING, ABSORBED).astype(jnp.int32),
-              g(t_bounces), valid2)
+              g_bounces, valid2)
     if depth < 2 and m2 >= HYBRID_RECURSE_MIN:
         (pos2, dir2, prev2, status2, bounces2,
          ovf3) = _rim_continuation_hybrid(k_tail, scene, carry2, cfg,
@@ -542,20 +567,10 @@ def trace_rays_rim_deferred(
 
     m = min(n_rays, max(256, n_rays >> capacity_shift))
     n_overflow = jnp.maximum(jnp.sum(clipped, dtype=jnp.int32) - m, 0)
-    idx = jnp.nonzero(clipped, size=m, fill_value=n_rays)[0]
-    valid = idx < n_rays
-    safe = jnp.minimum(idx, n_rays - 1)
-
-    def g(a):
-        return a[safe]
-
-    def gv(v: Vec3) -> Vec3:
-        return Vec3(g(v.x), g(v.y), g(v.z))
-
-    c_pt = gv(rim_pt)
-    c_dir = gv(res.direction)
-    c_prev = gv(res.seg_start)
-    c_bounces = g(res.n_bounces) + valid.astype(jnp.int32)
+    idx, valid, (c_pt, c_dir, c_prev), (c_b,) = _compact_gather(
+        clipped, [rim_pt, res.direction, res.seg_start], [res.n_bounces],
+        m, n_rays)
+    c_bounces = c_b + valid.astype(jnp.int32)
 
     # first rim bounce (the in-loop kernel's rim branch, applied once):
     # roulette + the scene's surface model about the rim-face normal

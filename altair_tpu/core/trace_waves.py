@@ -109,7 +109,9 @@ def trace_waves_from_state(
         alive = status == RUNNING
         n_alive = jnp.sum(alive, dtype=jnp.int32)
         n_overflow = n_overflow + jnp.maximum(n_alive - m_next, 0)
-        idx = jnp.nonzero(alive, size=m_next, fill_value=m)[0]
+        from .compact import nonzero_indices
+
+        idx = nonzero_indices(alive, m_next, m)
         valid = idx < m
 
         def g(a):
