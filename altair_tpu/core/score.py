@@ -52,14 +52,24 @@ def _hits_block(E, D, rowmask, C, Nrm, half_w):
     C = C.astype(f32)
     Nrm = Nrm.astype(f32)
 
+    # Precision.HIGHEST is LOAD-BEARING: the TPU default truncates matmul
+    # inputs to bf16, and the expanded r^2 below subtracts O(|E|^2) pair
+    # terms — bf16 noise (~0.4% of 519-cm box points) turns t and r^2
+    # into garbage for a position-dependent subset of pairs (measured up
+    # to +40% spurious hits per detector row before the fix).
+    HI = jax.lax.Precision.HIGHEST
     dn = jax.lax.dot_general(  # [N,P]  d . n_p
-        D, Nrm, (((1,), (1,)), ((), ())), preferred_element_type=f32)
+        D, Nrm, (((1,), (1,)), ((), ())), preferred_element_type=f32,
+        precision=HI)
     en = jax.lax.dot_general(  # [N,P]  e . n_p
-        E, Nrm, (((1,), (1,)), ((), ())), preferred_element_type=f32)
+        E, Nrm, (((1,), (1,)), ((), ())), preferred_element_type=f32,
+        precision=HI)
     ec = jax.lax.dot_general(  # [N,P]  e . c_p
-        E, C, (((1,), (1,)), ((), ())), preferred_element_type=f32)
+        E, C, (((1,), (1,)), ((), ())), preferred_element_type=f32,
+        precision=HI)
     dc = jax.lax.dot_general(  # [N,P]  d . c_p
-        D, C, (((1,), (1,)), ((), ())), preferred_element_type=f32)
+        D, C, (((1,), (1,)), ((), ())), preferred_element_type=f32,
+        precision=HI)
 
     cn = jnp.sum(C * Nrm, axis=1)          # [P]  c_p . n_p
     c2 = jnp.sum(C * C, axis=1)            # [P]  |c_p|^2
@@ -99,7 +109,8 @@ def _plucker_weights(C, Nrm, half_w):
     Nrm = Nrm.astype(f32)
     P = C.shape[0]
     eye = jnp.eye(3, dtype=f32)
-    nnT = jnp.einsum("pi,pj->pij", Nrm, Nrm)
+    HI = jax.lax.Precision.HIGHEST  # see _hits_block
+    nnT = jnp.einsum("pi,pj->pij", Nrm, Nrm, precision=HI)
     A = eye[None] - nnT                                    # [P,3,3]
     cxn = jnp.cross(C, Nrm)                                # [P,3]
     cn = jnp.sum(C * Nrm, axis=1)                          # [P]
@@ -111,9 +122,9 @@ def _plucker_weights(C, Nrm, half_w):
         jnp.stack([nz, zeros, -nx], axis=-1),
         jnp.stack([-ny, nx, zeros], axis=-1),
     ], axis=-2)                                            # [P,3,3]
-    B = (-jnp.einsum("pi,pj->pij", cxn, Nrm)
+    B = (-jnp.einsum("pi,pj->pij", cxn, Nrm, precision=HI)
          - cn[:, None, None] * n_x)                        # [P,3,3]
-    BtB = jnp.einsum("pki,pkj->pij", B, B)
+    BtB = jnp.einsum("pki,pkj->pij", B, B, precision=HI)
     M = jnp.concatenate([
         jnp.concatenate([A, B], axis=2),
         jnp.concatenate([jnp.swapaxes(B, 1, 2),
@@ -142,11 +153,14 @@ def _hits_block_mxu(Phi, D, rowmask, W, Nrm):
     ``_hits_block`` (infinite line, |d.n| >= 1e-10), multiplied through by
     b^2 so there is no division."""
     f32 = jnp.float32
+    HI = jax.lax.Precision.HIGHEST  # bf16 inputs break the cancellation-
+    # sensitive quadratic form (see _hits_block)
     s = jax.lax.dot_general(   # [N,P]  r^T M_p r
-        Phi, W, (((1,), (1,)), ((), ())), preferred_element_type=f32)
+        Phi, W, (((1,), (1,)), ((), ())), preferred_element_type=f32,
+        precision=HI)
     dn = jax.lax.dot_general(  # [N,P]  d . n_p
         D.astype(f32), Nrm.astype(f32), (((1,), (1,)), ((), ())),
-        preferred_element_type=f32)
+        preferred_element_type=f32, precision=HI)
     hit = (s <= 0.0) & (jnp.abs(dn) >= PARALLEL_EPS) & rowmask[:, None]
     return jnp.sum(hit, axis=0, dtype=jnp.int32)
 
@@ -260,7 +274,9 @@ def fluxmap_trace_once_compact(
     """
     mask = result.exited_port_mask(exit_port_z)
     n = mask.shape[0]
-    idx = jnp.nonzero(mask, size=capacity, fill_value=n)[0]
+    from .compact import nonzero_indices
+
+    idx = nonzero_indices(mask, capacity, n)
     valid = idx < n
     take = jnp.minimum(idx, n - 1)
     E = result.last_point.stack()[take]
