@@ -410,7 +410,8 @@ def fluxmap_retrace_binomial(
     import dataclasses
 
     if oversample < 2:
-        raise ValueError("oversample must be >= 2 (n/M < 1 is meaningless)")
+        raise ValueError("oversample must be >= 2: the shared "
+                         "sample must exceed the per-position count")
     M = int(oversample) * int(n_per_pos)
     cap = exit_capacity(scene, M)
     if pos_chunk is None:

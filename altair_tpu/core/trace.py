@@ -376,13 +376,20 @@ def _compact_gather(mask, vecs, ints, capacity: int, n: int):
     idx = nonzero_indices(mask, capacity, n)
     valid = idx < n
     safe = jnp.minimum(idx, n - 1)
+    # pack in the position dtype, but never below f32: int fields must
+    # survive the round-trip exactly (counts <= 50,000 << 2^24), which a
+    # low-precision cfg.dtype like bf16 would break
     pdt = vecs[0].x.dtype
+    pack_dt = pdt if jnp.finfo(pdt).nmant >= 23 else jnp.float32
     cols = []
     for v in vecs:
-        cols += [v.x, v.y, v.z]
-    cols += [a.astype(pdt) for a in ints]
+        cols += [v.x.astype(pack_dt), v.y.astype(pack_dt),
+                 v.z.astype(pack_dt)]
+    cols += [a.astype(pack_dt) for a in ints]
     rows = jnp.stack(cols, 1)[safe]
-    out_vecs = [Vec3(rows[:, 3 * i], rows[:, 3 * i + 1], rows[:, 3 * i + 2])
+    out_vecs = [Vec3(rows[:, 3 * i].astype(pdt),
+                     rows[:, 3 * i + 1].astype(pdt),
+                     rows[:, 3 * i + 2].astype(pdt))
                 for i in range(len(vecs))]
     base = 3 * len(vecs)
     out_ints = [rows[:, base + j].astype(jnp.int32)

@@ -790,7 +790,8 @@ def trace_rays_refill(
 # Sensitivity re-measured 2026-08-17 at 16M rays, simple mode: budget
 # 2/4/8 -> 21.5/25.9/24.6 M rays/s, INNER_ITERS 64 vs 128 within noise —
 # the shipped (4, 64) sits on the optimum.  Through trace_rays_auto with
-# the exact-rim post-pass the same workload lands at ~16.6 M rays/s.
+# the exact-rim post-pass the same workload lands at ~19.0 M rays/s
+# (post fast-compaction).
 REFILL_MIN = 1 << 20
 _REFILL_BUDGET = 4
 

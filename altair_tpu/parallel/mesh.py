@@ -461,7 +461,8 @@ def sharded_retrace_binomial(
     import dataclasses
 
     if oversample < 2:
-        raise ValueError("oversample must be >= 2 (n/M < 1 is meaningless)")
+        raise ValueError("oversample must be >= 2: the shared "
+                         "sample must exceed the per-position count")
     n_dev = mesh.devices.size
     M = int(oversample) * int(n_rays_per_pos)
     if M % n_dev:

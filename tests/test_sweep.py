@@ -242,10 +242,11 @@ class TestFluxmapReplicates:
         assert 0.4 < ratio < 2.2, ratio
 
     def test_qmc_replicates_tighter_total(self):
-        """With Sobol replicates the TOTAL flux (sum of cells ~ the exit
-        fraction, a smooth observable) must carry far less replicate
-        spread than pseudorandom; per-cell gains are milder (indicator
-        functionals)."""
+        """With cfg.qmc the replicate spread of the MAP TOTAL (~ the exit
+        fraction, a smooth observable) must be far tighter than the
+        pseudorandom replicates' — i.e. fluxmap_replicates' error bars
+        really do capture the QMC gain; per-cell gains are milder
+        (indicator functionals)."""
         from altair_tpu.config import TraceConfig
         from altair_tpu.sweep import fluxmap_replicates
 
@@ -254,8 +255,6 @@ class TestFluxmapReplicates:
         scene = SCENE.with_(exact_rim=False)
 
         def total_spread(cfg, seed):
-            from altair_tpu.core.score import exit_capacity, \
-                fluxmap_trace_once_compact
             from altair_tpu.core.trace_waves import trace_rays_auto
             import jax
 
@@ -269,6 +268,14 @@ class TestFluxmapReplicates:
         s_mc = total_spread(TraceConfig(), 100)
         s_q = total_spread(TraceConfig(qmc=1), 200)
         assert s_q < 0.5 * s_mc, (s_q, s_mc)
+        # and the replicates API accepts the qmc config (per-cell sems at
+        # K=6 are too chi2-noisy for a strict inequality — the spread
+        # claim above is the discriminating check)
+        mean_q, sem_q = fluxmap_replicates(
+            scene, SOURCE_OVERNIGHT, n_rays=n, grid=grid, replicates=K,
+            seed=7, cfg=TraceConfig(qmc=1))
+        assert np.isfinite(sem_q).all() and (sem_q >= 0).all()
+        assert (np.abs(mean_q - 0.43 / grid.n_positions * 4) < 1).all()
 
     def test_replicates_validation(self):
         from altair_tpu.sweep import fluxmap_replicates
