@@ -75,6 +75,40 @@ def cmd_fluxmap(args):
     cfg = _cfg(args)
     grid = DetectorGrid(n_theta=args.theta_bins, n_phi=args.phi_bins,
                         width=args.detector_size, height=args.detector_size)
+    if args.replicates > 1:
+        if args.method != "trace-once":
+            raise SystemExit("--replicates applies to --method trace-once")
+        import numpy as np
+
+        from .sweep import fluxmap_replicates
+
+        mean, sem = fluxmap_replicates(
+            scene, source, n_rays=args.rays, grid=grid,
+            replicates=args.replicates, seed=args.seed, cfg=cfg)
+        bright = mean > mean.max() * 0.1
+        print(f"{args.replicates} replicates x {args.rays} rays: "
+              f"pooled bright-cell sem "
+              f"{sem[bright].mean():.3e} (rel "
+              f"{(sem[bright] / np.maximum(mean[bright], 1e-12)).mean():.3%})")
+        if args.out:
+            import os
+
+            from .io import FluxmapWriter, fluxmap_filename
+
+            fname = fluxmap_filename(
+                args.rays * args.replicates, grid.n_theta, grid.n_phi,
+                (float(source.x), float(source.y), float(source.z)),
+                trace_once=True)
+            from .sweep.observer import _metadata
+
+            meta = _metadata(scene, source, grid,
+                             args.rays * args.replicates, trace_once=True)
+            with FluxmapWriter(os.path.join(args.out, fname), meta) as w:
+                w.write_map(np.asarray(grid.theta_centers()),
+                            np.asarray(grid.phi_centers()), mean)
+                path = w.path
+            print(f"mean flux map saved to '{path}'")
+        return 0
     if args.method == "trace-once":
         res = sweep_detector_trace_once(
             scene, source, n_rays=args.rays, grid=grid, seed=args.seed,
@@ -223,6 +257,12 @@ def main(argv=None) -> int:
                         "excess variance — docs/PARITY.md §9)")
     p.add_argument("--oversample", type=int, default=128,
                    help="shared-sample factor for the binomial engine")
+    p.add_argument("--replicates", type=int, default=1,
+                   help=">1: run K independent trace-once maps in one "
+                        "device call and report the mean map with "
+                        "per-cell error bars (sweep.fluxmap_replicates; "
+                        "with --qmc each replicate is an independent "
+                        "Sobol randomisation)")
     p.add_argument("--notify", action="store_true")
     p.set_defaults(fn=cmd_fluxmap)
 

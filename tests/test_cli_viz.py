@@ -22,6 +22,17 @@ class TestCli:
         assert any(f.startswith("fluxmap_traceonce_2000rays_4x2") for f in files)
 
     @pytest.mark.slow
+    def test_fluxmap_replicates_flag(self, tmp_path):
+        rc = main([
+            "fluxmap", "--replicates", "3", "--rays", "1000",
+            "--max-bounces", "512", "--theta-bins", "4", "--phi-bins", "2",
+            "--out", str(tmp_path)])
+        assert rc == 0
+        files = os.listdir(tmp_path)
+        assert any(f.startswith("fluxmap_traceonce_3000rays_4x2")
+                   for f in files)
+
+    @pytest.mark.slow
     def test_fluxmap_binomial_retrace(self, tmp_path):
         rc = main([
             "fluxmap", "--method", "retrace", "--retrace-engine", "binomial",
