@@ -51,6 +51,17 @@ def worker(coordinator: str, num_processes: int, process_id: int,
           f"{jax.device_count()} (local {jax.local_device_count()}) "
           f"hits={total} exit_frac={frac:.4f}", flush=True)
     assert 0.38 < frac < 0.47, frac
+
+    # the sharded binomial retrace engine over the same cluster: shared
+    # sample split across processes, one psum, replicated draws — every
+    # process must hold the identical map
+    from altair_tpu.parallel import sharded_retrace_binomial
+
+    counts_b = sharded_retrace_binomial(
+        mesh, jax.random.key(1), scene, SOURCE_OVERNIGHT, grid, 512,
+        TraceConfig(block_iters=16), oversample=16)
+    print(f"[process {process_id}/{num_processes}] binomial_hits="
+          f"{int(np.asarray(counts_b).sum())}", flush=True)
     return 0
 
 
