@@ -30,7 +30,10 @@ class SurfaceModel(enum.IntEnum):
 
     LAMBERTIAN      — ``ABorderSurfaceCondition::EnableLambertian(true)``
                       (``fluxAtObserver.C:155``): cosine-weighted re-emission
-                      about the inward surface normal.
+                      about the inward surface normal.  ``roughness`` is
+                      ignored under this model (ROBAST behaviour, settled
+                      against the roughness-0.75 corpus — docs/PARITY.md
+                      §10); the field is kept for CSV-metadata parity.
     SPECULAR        — mirror reflection about the surface normal, with the
                       normal tilted by a Gaussian roughness angle (ROBAST
                       ``SetGaussianRoughness`` semantics,

@@ -11,7 +11,12 @@ parity is statistical — see tests/test_physics_parity.py):
 
 * Lambertian: theta = acos(sqrt(u)) cosine-weighted about the inward normal —
   exactly the reference's diffuse sampler (``nonLambertianFlux.C:191-207``)
-  and what ROBAST's ``EnableLambertian(true)`` does per bounce.
+  and what ROBAST's ``EnableLambertian(true)`` does per bounce.  Gaussian
+  roughness is IGNORED under Lambertian — settled empirically against the
+  roughness-0.75 corpus (``results/detector_data_50000rays.csv``): the
+  corpus profile equals the roughness-inert law, and every tilted-normal
+  composition variant is quantitatively excluded (docs/PARITY.md §10,
+  tests/test_corpus_roughness.py).
 * Specular + Gaussian roughness: ROBAST ``SetGaussianRoughness(sigma)`` tilts
   the surface *normal* by a Gaussian angle before mirror reflection.
 * Mixed BRDF: ``BRDF::SampleDirection`` (``nonLambertianFlux.C:162-169``) —
