@@ -22,6 +22,7 @@ def nonzero_indices(mask, size: int, fill: int):
     """First ``size`` indices where ``mask`` is True, ascending, padded
     with ``fill`` — exactly ``jnp.nonzero(mask, size=size,
     fill_value=fill)[0]``, via blocked-cumsum + ordered scatter."""
+    mask = mask.astype(bool)   # integer masks > 1 would corrupt the ranks
     n = mask.shape[0]
     if n < 4 * _BLOCK:
         return jnp.nonzero(mask, size=size, fill_value=fill)[0]

@@ -304,7 +304,7 @@ def fluxmap_retrace(
     grid: DetectorGrid,
     n_per_pos: int,
     cfg: TraceConfig = TraceConfig(),
-    pos_chunk: int = 8,
+    pos_chunk: int | None = None,
     centers_normals=None,
 ) -> jax.Array:
     """The honest retrace sweep: fresh rays for every detector position
@@ -313,11 +313,18 @@ def fluxmap_retrace(
     with independent noise per position; kept for cross-method consistency
     checks (SURVEY.md §4.3).  Returns ``[n_theta, n_phi]`` hit counts.
 
+    ``pos_chunk=None`` picks the measured v5e optimum: the per-scan-step
+    throughput curve is flat over 16/32/45 positions/step and cliffs past
+    ~4M rays/step (HBM pressure; benchmarks/run_all.py), so the default is
+    32 capped so a step stays under 2^22 rays.
+
     ``centers_normals``: optional explicit ``([P,3], [P,3])`` detector
     placement override — pass DYNAMIC arrays here to reuse one compiled
     program across sub-grids whose static shape matches (a sub-grid with
     different static theta bounds would otherwise recompile).
     """
+    if pos_chunk is None:
+        pos_chunk = max(1, min(32, (1 << 22) // max(n_per_pos, 1)))
     if centers_normals is not None:
         C, Nrm = centers_normals
     else:

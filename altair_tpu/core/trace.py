@@ -556,6 +556,12 @@ def trace_rays_rim_deferred(
     if cfg.keep_history:
         raise ValueError("rim-deferred tracing has no history buffer; "
                          "use trace_rays for the visual-demo path")
+    if int(scene.max_bounces) >= 1 << 24:
+        # _compact_gather rides int fields through the pack dtype's f32
+        # mantissa; bounce counts must stay exactly representable
+        raise ValueError("max_bounces >= 2^24 would corrupt bounce counts "
+                         "in the deferred-rim pack; use the in-loop rim "
+                         "kernel (exact_rim=True on the simulate engines)")
     dtype = cfg.dtype
     k_main, k_first, k_cont = jax.random.split(key, 3)
     main = main_tracer if main_tracer is not None else trace_rays

@@ -47,7 +47,13 @@ Scope / composition:
   overrun ``scene.max_bounces`` is SUSPENDED with the cap's bounce count,
   matching the reference's ``ray->Suspend()`` guard
   (``fluxAtObserverOptimize.C:271-273``); at the reference's cap of 50,000
-  vs s ≈ 0.9827 the probability is ~e^-860.
+  vs s ≈ 0.9827 the probability is ~e^-860.  Documented divergence: a
+  SUSPENDED lane's ``direction`` here is the incoming band-to-band chord
+  (b2 - b1), while the simulators leave the freshly scattered OUTGOING
+  direction (whose unrealised next hit is uniform over the sphere) — a
+  different marginal.  Every shipped scorer filters on EXITED, so this is
+  visible only to consumers reading suspended lanes at caps low enough
+  for suspensions to matter (s^cap non-negligible).
 
 Replaces: the hot path of ``AOpticsManager::TraceNonSequential``
 (``fluxAtObserverOptimize.C:295``) for the production Lambertian scene —

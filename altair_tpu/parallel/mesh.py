@@ -400,7 +400,7 @@ def sharded_retrace(
     grid: DetectorGrid,
     n_rays_per_pos: int,
     cfg: TraceConfig = TraceConfig(),
-    pos_chunk: int = 8,
+    pos_chunk: int | None = None,
 ):
     """Multi-chip honest retrace sweep (``sweepDetector``,
     ``fluxAtObserverOptimize.C:433-702``): each chip traces
@@ -416,6 +416,10 @@ def sharded_retrace(
     if n_rays_per_pos % n_dev:
         raise ValueError("n_rays_per_pos must divide over devices")
     n_local = n_rays_per_pos // n_dev
+    if pos_chunk is None:
+        # per-DEVICE step size: same measured flat optimum as
+        # core.score.fluxmap_retrace (16-45 positions, <2^22 rays/step)
+        pos_chunk = max(1, min(32, (1 << 22) // max(n_local, 1)))
 
     @partial(
         jax.shard_map,

@@ -82,8 +82,12 @@ def sweep_insphere_detector(
         # trace together per device call (rays partitioned chunk-wise among
         # positions, like core.score.fluxmap_retrace) instead of the
         # reference's one-geometry-rebuild-per-position loop
-        # (integratingSphereDetectorSweep.C:31-105).  Positions stay
-        # statistically independent: disjoint lanes, key folded per chunk.
+        # (integratingSphereDetectorSweep.C:31-105).  Positions are
+        # statistically independent under the pseudorandom engines
+        # (disjoint lanes, key folded per chunk); with cfg.qmc the direct
+        # sampler gives every position in a chunk the same Sobol block, so
+        # chunk-mates are stratified-correlated — means stay unbiased and
+        # per-position errors only shrink, but they are not independent.
         from ..core.geometry import Vec3
         from ..core.score import insphere_disk_hit_mask
 
