@@ -357,7 +357,8 @@ def rim_deferred_capacity_shift(scene: SphereScene) -> int | None:
     return shift
 
 
-def _compact_gather(mask, vecs, ints, capacity: int, n: int):
+def _compact_gather(mask, vecs, ints, capacity: int, n: int,
+                    group_capacity: int | None = None):
     """Compact the lanes where ``mask`` holds into a ``capacity``-sized
     buffer with ONE packed row gather.
 
@@ -368,12 +369,24 @@ def _compact_gather(mask, vecs, ints, capacity: int, n: int):
     gathered as rows.  ``ints`` ride along as floats; exact while their
     values fit the mantissa (bounce counts <= 50,000 << 2^24).
 
-    Returns ``(idx, valid, vec_outs, int_outs)`` — ``idx`` for the
-    scatter-back, ``valid`` the real-lane mask.
-    """
-    from .compact import nonzero_indices
+    ``group_capacity``: when set (sparse masks — the rim-clip set), the
+    index build runs the two-level grouped compaction, whose level-2 rank
+    + scatter touch only ``group_capacity * 8`` candidate lanes instead of
+    all ``n`` (core/compact.py).  Lanes dropped by a group-capacity
+    overflow are counted in the returned ``n_dropped`` (0 in practice —
+    callers fold it into their overflow counter).
 
-    idx = nonzero_indices(mask, capacity, n)
+    Returns ``(idx, valid, vec_outs, int_outs, n_dropped)`` — ``idx`` for
+    the scatter-back, ``valid`` the real-lane mask.
+    """
+    from .compact import nonzero_indices, nonzero_indices_grouped
+
+    if group_capacity is not None and n >= (1 << 16):
+        idx, n_dropped = nonzero_indices_grouped(mask, capacity, n,
+                                                 group_capacity)
+    else:
+        idx = nonzero_indices(mask, capacity, n)
+        n_dropped = jnp.zeros((), jnp.int32)
     valid = idx < n
     safe = jnp.minimum(idx, n - 1)
     # pack in the position dtype, but never below f32: int fields must
@@ -394,7 +407,7 @@ def _compact_gather(mask, vecs, ints, capacity: int, n: int):
     base = 3 * len(vecs)
     out_ints = [rows[:, base + j].astype(jnp.int32)
                 for j in range(len(ints))]
-    return idx, valid, out_vecs, out_ints
+    return idx, valid, out_vecs, out_ints, n_dropped
 
 
 def _rim_continuation_hybrid(key, scene, carry, cfg, radius, r_out, cos_tm,
@@ -473,7 +486,9 @@ def _rim_continuation_hybrid(key, scene, carry, cfg, radius, r_out, cos_tm,
 
     m2 = min(m, max(256, m >> 3))
     n_overflow2 = jnp.maximum(jnp.sum(cont, dtype=jnp.int32) - m2, 0)
-    idx2, valid2, (g_pos, g_dir, g_prev), (g_bounces,) = _compact_gather(
+    # flat compaction: cont is DENSE relative to this buffer (~m/8 of m),
+    # so the grouped level-2 width would equal m — no win over flat
+    idx2, valid2, (g_pos, g_dir, g_prev), (g_bounces,), _ = _compact_gather(
         cont, [t_pos, t_dir, t_prev], [t_bounces], m2, m)
     carry2 = (g_pos, g_dir, g_prev,
               jnp.where(valid2, RUNNING, ABSORBED).astype(jnp.int32),
@@ -580,9 +595,17 @@ def trace_rays_rim_deferred(
 
     m = min(n_rays, max(256, n_rays >> capacity_shift))
     n_overflow = jnp.maximum(jnp.sum(clipped, dtype=jnp.int32) - m, 0)
-    idx, valid, (c_pt, c_dir, c_prev), (c_b,) = _compact_gather(
+    # Two-level (grouped) compaction: the clip set is sparse (~2-4% of
+    # rays), so level 2 ranks/scatters only 8 * (m/2) candidate lanes
+    # instead of all n_rays.  Group capacity m/2 covers the expected clip
+    # count with >= 1.25x cushion (capacity m itself carries a ~2.8x
+    # cushion, and clips rarely share an 8-lane group at these densities);
+    # a group-capacity overflow is counted and raises upstream like any
+    # capacity overflow.
+    idx, valid, (c_pt, c_dir, c_prev), (c_b,), dropped = _compact_gather(
         clipped, [rim_pt, res.direction, res.seg_start], [res.n_bounces],
-        m, n_rays)
+        m, n_rays, group_capacity=max(256, m >> 1))
+    n_overflow = n_overflow + dropped
     c_bounces = c_b + valid.astype(jnp.int32)
 
     # first rim bounce (the in-loop kernel's rim branch, applied once):

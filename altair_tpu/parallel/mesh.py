@@ -506,3 +506,105 @@ def sharded_retrace_binomial(
 def replicate(x, mesh: Mesh):
     """Put a host value on every device of the mesh (replicated)."""
     return jax.device_put(x, NamedSharding(mesh, P()))
+
+def sharded_insphere(
+    mesh: Mesh,
+    key: jax.Array,
+    scene: SphereScene,
+    source: Source,
+    centers,
+    normals,
+    disk_radius,
+    n_rays: int,
+    cfg: TraceConfig = TraceConfig(),
+    retrace: bool = False,
+    pos_chunk: int | None = None,
+):
+    """Multi-chip in-sphere focal-disk sweep
+    (``integratingSphereDetectorSweep.C:31-105``).
+
+    ``centers`` / ``normals``: ``[P, 3]`` disk placements (from
+    ``core.score.insphere_disk_position``), replicated to every chip.
+
+    * ``retrace=False`` — ONE shared trace, ray axis sharded: each chip
+      traces ``n_rays / n_devices`` rays, scores them against every disk,
+      one ``psum`` merges the ``[P]`` hit counts.
+    * ``retrace=True``  — fresh rays per position, reference methodology:
+      each chip traces ``n_rays / n_devices`` rays for EVERY position
+      (chunked ``pos_chunk`` positions per scan step like
+      ``fluxmap_retrace``), counts just add across chips.
+
+    Returns ``[P]`` int32 hit counts out of ``n_rays`` rays per position
+    (retrace) / total (trace-once).
+    """
+    from ..core.geometry import Vec3
+    from ..core.score import hits_insphere_disk, insphere_disk_hit_mask
+
+    n_dev = mesh.devices.size
+    if n_rays % n_dev:
+        raise ValueError(f"n_rays={n_rays} must divide over {n_dev} devices")
+    n_local = n_rays // n_dev
+    tracer = _pick_tracer(scene, n_local, cfg)
+    centers = jnp.asarray(centers)
+    normals = jnp.asarray(normals)
+    n_pos = centers.shape[0]
+
+    if not retrace:
+        @partial(
+            jax.shard_map,
+            mesh=mesh,
+            in_specs=(P(), scene_spec(scene), P(), P(), P()),
+            out_specs=P(),
+            check_vma=False,
+        )
+        def run_once(key, scene, src, C, N):
+            res = tracer(_per_shard_key(key, RAY_AXIS), scene, src,
+                         n_local, cfg)
+            counts = jax.lax.map(
+                lambda i: hits_insphere_disk(
+                    res, Vec3(C[i, 0], C[i, 1], C[i, 2]),
+                    Vec3(N[i, 0], N[i, 1], N[i, 2]), disk_radius),
+                jnp.arange(n_pos))
+            return jax.lax.psum(counts, RAY_AXIS)
+
+        return run_once(key, scene, source, centers, normals)
+
+    if pos_chunk is None:
+        pos_chunk = max(1, min(32, (1 << 22) // max(n_local, 1)))
+    chunk = min(pos_chunk, n_pos)
+    n_chunks = -(-n_pos // chunk)
+    pad = n_chunks * chunk - n_pos
+    C = centers
+    N = normals
+    if pad:
+        C = jnp.concatenate([C, jnp.zeros((pad, 3), C.dtype)])
+        N = jnp.concatenate(
+            [N, jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]], N.dtype), (pad, 1))])
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), scene_spec(scene), P(), P(), P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+    def run_retrace(key, scene, src, C, N):
+        k_shard = _per_shard_key(key, RAY_AXIS)
+
+        def one(carry, i):
+            k = jax.random.fold_in(k_shard, i)
+            res = tracer(k, scene, src, n_local * chunk, cfg)
+            owner = jnp.arange(n_local * chunk) // n_local
+            c = jax.lax.dynamic_slice_in_dim(C, i * chunk, chunk)
+            nn = jax.lax.dynamic_slice_in_dim(N, i * chunk, chunk)
+            cen = Vec3(c[owner, 0], c[owner, 1], c[owner, 2])
+            nrm = Vec3(nn[owner, 0], nn[owner, 1], nn[owner, 2])
+            ok = insphere_disk_hit_mask(res, cen, nrm, disk_radius)
+            return carry, jnp.sum(ok.reshape(chunk, n_local), axis=1,
+                                  dtype=jnp.int32)
+
+        _, counts = jax.lax.scan(one, jnp.zeros((), jnp.int32),
+                                 jnp.arange(n_chunks))
+        return jax.lax.psum(counts.reshape(-1)[:n_pos], RAY_AXIS)
+
+    return run_retrace(key, scene, source, C, N)

@@ -57,6 +57,7 @@ def sweep_insphere_detector(
     pos_chunk: int = 8,
     save_path: str | None = "detector_sweep3.txt",
     aimed: bool = False,
+    mesh=None,
 ) -> InsphereSweepResult:
     """Sweep the focal-surface disk over theta in [-theta_max, theta_max]
     (inclusive, like the reference's ``theta <= thetaMax`` loop) x
@@ -64,7 +65,10 @@ def sweep_insphere_detector(
     ``integratingSphereDetectorSweep():119-129`` (100k rays, dtheta 0.5,
     theta 45, disk r=5 cm).  ``aimed``: use the aim-at-port disk normal
     instead of the reference's faithful (phi-independent, tilted) one —
-    see ``insphere_disk_position``."""
+    see ``insphere_disk_position``.  ``mesh``: a 1-D device mesh (from
+    ``altair_tpu.parallel.make_mesh``) shards the ray axis over chips for
+    BOTH methodologies (``parallel.sharded_insphere``); one ``psum``
+    merges the per-chip counts."""
     t0 = time.perf_counter()
     thetas = np.arange(-theta_max, theta_max + dtheta / 2, dtheta)
     phis = np.arange(0.0, 360.0, dphi)
@@ -77,7 +81,16 @@ def sweep_insphere_detector(
         jnp.asarray(tt, jnp.float32), jnp.asarray(pp, jnp.float32),
         placement_radius, scene.exit_port_z, aimed=aimed)
 
-    if retrace:
+    if mesh is not None:
+        from ..parallel import sharded_insphere
+
+        Cd = jnp.stack([centers.x, centers.y, centers.z], 1)
+        Nd = jnp.stack([normals.x, normals.y, normals.z], 1)
+        counts = sharded_insphere(mesh, key, scene, source, Cd, Nd,
+                                  disk_radius, n_rays, cfg,
+                                  retrace=retrace)
+        frac = np.asarray(counts, np.float64) / n_rays
+    elif retrace:
         # Fresh rays per position, BATCHED: ``pos_chunk`` disk positions
         # trace together per device call (rays partitioned chunk-wise among
         # positions, like core.score.fluxmap_retrace) instead of the

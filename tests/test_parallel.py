@@ -241,3 +241,44 @@ class TestShardedWaves:
         frac = int(n_exit) / 16_000
         assert 0.40 < frac < 0.45, frac
         assert np.asarray(counts).sum() > 0
+
+
+class TestShardedInsphere:
+    """Multi-chip in-sphere focal-disk sweep (VERDICT r2 #6) vs the
+    single-device sweep_insphere_detector on identical placements."""
+
+    def _run(self, mesh, retrace):
+        from altair_tpu import SCENE_INSPHERE
+        from altair_tpu.sweep.insphere import sweep_insphere_detector
+
+        scene = SCENE_INSPHERE.with_(max_bounces=512)
+        kw = dict(disk_radius=5.0, n_rays=16_000, dtheta=15.0,
+                  theta_max=30.0, dphi=180.0, save_path=None,
+                  cfg=CFG, retrace=retrace)
+        sh = sweep_insphere_detector(scene, SOURCE_OVERNIGHT, mesh=mesh,
+                                     seed=0, **kw)
+        ref = sweep_insphere_detector(scene, SOURCE_OVERNIGHT, mesh=None,
+                                      seed=1, **kw)
+        assert sh.fractions.shape == ref.fractions.shape
+        assert sh.fractions.sum() > 0
+        n = kw["n_rays"]
+        sigma = 4 * np.sqrt(np.maximum(ref.fractions * n, 1)) + 12
+        assert (np.abs(sh.fractions * n - ref.fractions * n) < sigma).all()
+
+    def test_trace_once_matches_single_device(self, mesh):
+        self._run(mesh, retrace=False)
+
+    def test_retrace_matches_single_device(self, mesh):
+        self._run(mesh, retrace=True)
+
+    def test_division_check(self, mesh):
+        from altair_tpu import SCENE_INSPHERE
+        from altair_tpu.parallel import sharded_insphere
+
+        with pytest.raises(ValueError):
+            sharded_insphere(mesh, jax.random.key(0), SCENE_INSPHERE,
+                             SOURCE_OVERNIGHT,
+                             np.zeros((2, 3), np.float32),
+                             np.tile(np.array([0, 0, 1.0], np.float32),
+                                     (2, 1)),
+                             5.0, 1001, CFG)
