@@ -153,14 +153,25 @@ def _hits_block_mxu(Phi, D, rowmask, W, Nrm):
     ``_hits_block`` (infinite line, |d.n| >= 1e-10), multiplied through by
     b^2 so there is no division."""
     f32 = jnp.float32
-    HI = jax.lax.Precision.HIGHEST  # bf16 inputs break the cancellation-
-    # sensitive quadratic form (see _hits_block)
+    # HIGHEST on s is LOAD-BEARING (bf16 inputs break the cancellation-
+    # sensitive quadratic form, see _hits_block) and irreducible: each
+    # precision pass runs at ~full MXU utilisation (~70 ms per pass at
+    # 2.9M x 16,200 on v5e), and every cheaper scheme measured — HIGH s
+    # with a rank-1 error band, a dn-band row fixup, split-product
+    # K-packing — failed either the band-occupancy premise (the form
+    # s = b^2 (dist^2 - R^2) degenerates at small b) or TPU numerics;
+    # see benchmarks/RESULTS.md "Scoring precision".
     s = jax.lax.dot_general(   # [N,P]  r^T M_p r
         Phi, W, (((1,), (1,)), ((), ())), preferred_element_type=f32,
-        precision=HI)
+        precision=jax.lax.Precision.HIGHEST)
+    # The parallel GUARD tolerates HIGH (3 passes, saving 3 of 12): its
+    # absolute error <= ~2.3e-5 can only flip the |d.n| >= 1e-10 guard
+    # where |d.n| <= 2.3e-5 — and there s = b^2 (dist^2 - R^2) is f32
+    # noise in every variant, the same edge population the mxu-vs-exact
+    # equivalence already tolerates (2e-6 of hits).
     dn = jax.lax.dot_general(  # [N,P]  d . n_p
         D.astype(f32), Nrm.astype(f32), (((1,), (1,)), ((), ())),
-        preferred_element_type=f32, precision=HI)
+        preferred_element_type=f32, precision=jax.lax.Precision.HIGH)
     hit = (s <= 0.0) & (jnp.abs(dn) >= PARALLEL_EPS) & rowmask[:, None]
     return jnp.sum(hit, axis=0, dtype=jnp.int32)
 
@@ -189,8 +200,14 @@ def _score_grid(E, D, rowmask, grid: DetectorGrid, exit_port_z, pos_chunk,
     half_w = grid.width / 2.0
 
     if method == "mxu":
-        W = _plucker_weights(C, Nrm, half_w)
-        Phi = _plucker_features(E, D)
+        # Anchor the Plucker frame at the port centre: translation-
+        # invariant test, but the moment features shrink ~34x (exit lines
+        # pass within the ~17.5 cm port aperture of the anchor) so f32
+        # rounding at the disk edge is strictly smaller than in world
+        # coordinates.
+        anchor = jnp.array([0.0, 0.0, exit_port_z], jnp.float32)
+        W = _plucker_weights(C - anchor[None, :], Nrm, half_w)
+        Phi = _plucker_features(E.astype(jnp.float32) - anchor[None, :], D)
         Wb = W.reshape(n_chunks, chunk, 21)
         Nb = Nrm.reshape(n_chunks, chunk, 3)
 
@@ -422,8 +439,10 @@ def fluxmap_retrace_binomial(
     M = int(oversample) * int(n_per_pos)
     cap = exit_capacity(scene, M)
     if pos_chunk is None:
-        # bound the [cap, pos_chunk] f32 matmul output to ~1 GB
-        pos_chunk = max(8, min(1080, (1 << 28) // max(cap, 1)))
+        # 256 positions/chunk measured best on v5e (0.87 vs 0.93 s at 92
+        # for the full production scoring); cap the [cap, pos_chunk] f32
+        # block at ~3 GB for small-memory safety
+        pos_chunk = max(8, min(256, (3 << 28) // max(cap, 1)))
     if qmc and not cfg.qmc:
         cfg = dataclasses.replace(cfg, qmc=1)
     k_trace, k_draw = jax.random.split(jax.random.fold_in(key, 0x51))

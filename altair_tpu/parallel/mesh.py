@@ -448,6 +448,7 @@ def sharded_retrace_binomial(
     oversample: int = 128,
     pos_chunk: int | None = None,
     qmc: bool = True,
+    method: str = "mxu",
 ):
     """Multi-chip binomial retrace (docs/PARITY.md §9): each chip traces
     ``oversample * n_rays_per_pos / n_devices`` of the shared sample and
@@ -494,7 +495,7 @@ def sharded_retrace_binomial(
         res = tracer(_per_shard_key(k_trace, RAY_AXIS), scene, src,
                      m_local, cfg)
         counts, overflow = fluxmap_trace_once_compact(
-            res, grid, cap, scene.exit_port_z, pos_chunk)
+            res, grid, cap, scene.exit_port_z, pos_chunk, method)
         counts = jax.lax.psum(counts, RAY_AXIS)
         overflow = jax.lax.psum(overflow, RAY_AXIS)
         return binomial_cells_from_counts(k_draw, counts, overflow, M,
