@@ -1,0 +1,42 @@
+"""Compiled-program memoization for driver-layer entry points.
+
+Driver functions (sweep drivers, the mesh layer) build their jitted
+closures inside the call, so every invocation hands JAX a NEW Python
+callable and the jit cache — keyed on function identity — misses:
+back-to-back identical sweeps re-trace and re-COMPILE the full program
+(tens of seconds for the direct+deferred-rim engine on CPU, minutes
+through the remote-TPU compile path).  Memoizing the BUILDER on its
+static configuration restores the once-per-config compile the reference
+got from ACLiC caching its compiled macro ``.so`` (SURVEY.md §2.2).
+
+Keys rely on the frozen-dataclass hashes of scene/source/cfg/grid (all
+hashable when their fields are Python numbers) and on
+``jax.sharding.Mesh``'s hash; unhashable keys (stacked scenes with array
+leaves, explicit array placements, callable scatter hooks with ad-hoc
+state) fall back to building fresh — correctness never depends on a
+cache hit.
+"""
+
+from __future__ import annotations
+
+import functools
+
+__all__ = ["memo_program"]
+
+
+def memo_program(builder):
+    """Memoize ``builder(*static_args)`` on its (hashable) arguments."""
+    cache = {}
+
+    @functools.wraps(builder)
+    def get(*key):
+        try:
+            hit = cache.get(key)
+        except TypeError:            # unhashable static: no caching
+            return builder(*key)
+        if hit is None:
+            hit = cache[key] = builder(*key)
+        return hit
+
+    get.cache = cache
+    return get

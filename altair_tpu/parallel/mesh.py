@@ -36,6 +36,15 @@ from ..core.trace_waves import trace_rays_waves, waves_safe
 WAVES_THRESHOLD = 262_144
 
 
+# every sharded_* entry point builds its shard_map program through a
+# memoized builder (core/memo.py) so identical calls reuse the compiled
+# program; see that module's docstring for the rationale.  The programs
+# are additionally jax.jit-wrapped: an EAGER shard_map call lowers and
+# dispatches fragment-by-fragment (measured ~7x slower than the single
+# fused compile even on the FIRST call, on the 8-device CPU mesh).
+from ..core.memo import memo_program as _memo_program
+
+
 def _pick_tracer(scene, n_local, cfg, waves_threshold=None):
     """Engine selection must happen on the CONCRETE scene (inside shard_map
     the scene leaves are tracers and waves_safe would always bail).  Same
@@ -135,7 +144,15 @@ def sharded_fluxmap(
     if n_rays % n_dev:
         raise ValueError(f"n_rays={n_rays} must divide over {n_dev} devices")
     n_local = n_rays // n_dev
-    tracer = _pick_tracer(scene, n_local, cfg)
+    run = _fluxmap_program(mesh, scene, grid, n_local, cfg, pos_chunk,
+                           WAVES_THRESHOLD)
+    return run(key, scene, source)
+
+
+@_memo_program
+def _fluxmap_program(mesh, scene, grid, n_local, cfg, pos_chunk,
+                     waves_threshold):
+    tracer = _pick_tracer(scene, n_local, cfg, waves_threshold)
 
     @partial(
         jax.shard_map,
@@ -154,7 +171,7 @@ def sharded_fluxmap(
         n_exit = jax.lax.psum(n_exit, RAY_AXIS)
         return counts, n_exit
 
-    return run(key, scene, source)
+    return jax.jit(run)
 
 
 def sharded_exit_histogram(
@@ -173,7 +190,14 @@ def sharded_exit_histogram(
     if n_rays % n_dev:
         raise ValueError(f"n_rays={n_rays} must divide over {n_dev} devices")
     n_local = n_rays // n_dev
-    tracer = _pick_tracer(scene, n_local, cfg)
+    run = _histogram_program(mesh, scene, n_local, cfg, n_bins,
+                             WAVES_THRESHOLD)
+    return run(key, scene, source)
+
+
+@_memo_program
+def _histogram_program(mesh, scene, n_local, cfg, n_bins, waves_threshold):
+    tracer = _pick_tracer(scene, n_local, cfg, waves_threshold)
 
     @partial(
         jax.shard_map,
@@ -192,7 +216,7 @@ def sharded_exit_histogram(
         return (jax.lax.psum(hist, RAY_AXIS),
                 jax.lax.psum(n_exit, RAY_AXIS))
 
-    return run(key, scene, source)
+    return jax.jit(run)
 
 
 def scene_spec(scene: SphereScene):
@@ -230,7 +254,13 @@ def sharded_trace(
     if n_rays % n_dev:
         raise ValueError(f"n_rays={n_rays} must divide over {n_dev} devices")
     n_local = n_rays // n_dev
-    tracer = _pick_tracer(scene, n_local, cfg)
+    run = _trace_program(mesh, scene, n_local, cfg, WAVES_THRESHOLD)
+    return run(key, scene, source)
+
+
+@_memo_program
+def _trace_program(mesh, scene, n_local, cfg, waves_threshold):
+    tracer = _pick_tracer(scene, n_local, cfg, waves_threshold)
 
     @partial(
         jax.shard_map,
@@ -243,7 +273,7 @@ def sharded_trace(
         return tracer(_per_shard_key(key, RAY_AXIS), scene, src, n_local,
                       cfg)
 
-    return run(key, scene, source)
+    return jax.jit(run)
 
 
 def sharded_score_traced(
@@ -256,7 +286,12 @@ def sharded_score_traced(
     """Score an already-traced, ray-sharded batch (from ``sharded_trace``)
     against the detector grid: per-chip partial hit maps, one ``psum``.
     Returns (counts [n_theta, n_phi] int32, n_exited)."""
+    run = _score_traced_program(mesh, scene, grid, pos_chunk)
+    return run(result, scene)
 
+
+@_memo_program
+def _score_traced_program(mesh, scene, grid, pos_chunk):
     @partial(
         jax.shard_map,
         mesh=mesh,
@@ -271,7 +306,7 @@ def sharded_score_traced(
         return (jax.lax.psum(counts, RAY_AXIS),
                 jax.lax.psum(n_exit, RAY_AXIS))
 
-    return run(result, scene)
+    return jax.jit(run)
 
 
 def _member_scenes(scenes: SphereScene):
@@ -389,7 +424,11 @@ def sharded_param_sweep(
             (jnp.arange(n_scenes), scenes))
         return jax.tree.map(lambda x: jax.lax.psum(x, RAY_AXIS), out)
 
-    return run(key, scenes, source)
+    # stacked scenes carry array leaves (unhashable), so this program is
+    # not memoized — but the jit wrapper still matters: eager shard_map
+    # dispatch lowers fragment-by-fragment (measured ~7x slower than one
+    # fused compile even on the FIRST call)
+    return jax.jit(run)(key, scenes, source)
 
 
 def sharded_retrace(
@@ -420,7 +459,12 @@ def sharded_retrace(
         # per-DEVICE step size: same measured flat optimum as
         # core.score.fluxmap_retrace (16-45 positions, <2^22 rays/step)
         pos_chunk = max(1, min(32, (1 << 22) // max(n_local, 1)))
+    run = _retrace_program(mesh, scene, grid, n_local, cfg, pos_chunk)
+    return run(key, scene, source)
 
+
+@_memo_program
+def _retrace_program(mesh, scene, grid, n_local, cfg, pos_chunk):
     @partial(
         jax.shard_map,
         mesh=mesh,
@@ -434,7 +478,7 @@ def sharded_retrace(
                                  pos_chunk=pos_chunk)
         return jax.lax.psum(counts, RAY_AXIS)
 
-    return run(key, scene, source)
+    return jax.jit(run)
 
 
 def sharded_retrace_binomial(
@@ -459,11 +503,9 @@ def sharded_retrace_binomial(
     Same error contract as ``fluxmap_retrace_binomial`` — the shared
     sample is simply sharded.  Returns ``[n_theta, n_phi]`` int32 counts.
     """
-    from ..core.score import (
-        binomial_cells_from_counts, exit_capacity,
-        fluxmap_trace_once_compact)
-
     import dataclasses
+
+    from ..core.score import exit_capacity
 
     if oversample < 2:
         raise ValueError("oversample must be >= 2: the shared "
@@ -481,7 +523,20 @@ def sharded_retrace_binomial(
     cap = exit_capacity(scene, m_local)
     if pos_chunk is None:
         pos_chunk = max(8, min(1080, (1 << 28) // max(cap, 1)))
-    tracer = _pick_tracer(scene, m_local, cfg)
+    run = _retrace_binomial_program(mesh, scene, grid, m_local, cfg, cap,
+                                    pos_chunk, method, M, n_rays_per_pos,
+                                    WAVES_THRESHOLD)
+    return run(key, scene, source)
+
+
+@_memo_program
+def _retrace_binomial_program(mesh, scene, grid, m_local, cfg, cap,
+                              pos_chunk, method, M, n_rays_per_pos,
+                              waves_threshold):
+    from ..core.score import (
+        binomial_cells_from_counts, fluxmap_trace_once_compact)
+
+    tracer = _pick_tracer(scene, m_local, cfg, waves_threshold)
 
     @partial(
         jax.shard_map,
@@ -501,7 +556,7 @@ def sharded_retrace_binomial(
         return binomial_cells_from_counts(k_draw, counts, overflow, M,
                                           n_rays_per_pos, grid.n_positions)
 
-    return run(key, scene, source)
+    return jax.jit(run)
 
 
 def replicate(x, mesh: Mesh):
@@ -538,36 +593,18 @@ def sharded_insphere(
     Returns ``[P]`` int32 hit counts out of ``n_rays`` rays per position
     (retrace) / total (trace-once).
     """
-    from ..core.geometry import Vec3
-    from ..core.score import hits_insphere_disk, insphere_disk_hit_mask
-
     n_dev = mesh.devices.size
     if n_rays % n_dev:
         raise ValueError(f"n_rays={n_rays} must divide over {n_dev} devices")
     n_local = n_rays // n_dev
-    tracer = _pick_tracer(scene, n_local, cfg)
     centers = jnp.asarray(centers)
     normals = jnp.asarray(normals)
     n_pos = centers.shape[0]
 
     if not retrace:
-        @partial(
-            jax.shard_map,
-            mesh=mesh,
-            in_specs=(P(), scene_spec(scene), P(), P(), P()),
-            out_specs=P(),
-            check_vma=False,
-        )
-        def run_once(key, scene, src, C, N):
-            res = tracer(_per_shard_key(key, RAY_AXIS), scene, src,
-                         n_local, cfg)
-            counts = jax.lax.map(
-                lambda i: hits_insphere_disk(
-                    res, Vec3(C[i, 0], C[i, 1], C[i, 2]),
-                    Vec3(N[i, 0], N[i, 1], N[i, 2]), disk_radius),
-                jnp.arange(n_pos))
-            return jax.lax.psum(counts, RAY_AXIS)
-
+        run_once = _insphere_once_program(
+            mesh, scene, n_local, cfg, n_pos, float(disk_radius),
+            WAVES_THRESHOLD)
         return run_once(key, scene, source, centers, normals)
 
     if pos_chunk is None:
@@ -581,6 +618,47 @@ def sharded_insphere(
         C = jnp.concatenate([C, jnp.zeros((pad, 3), C.dtype)])
         N = jnp.concatenate(
             [N, jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]], N.dtype), (pad, 1))])
+    run_retrace = _insphere_retrace_program(
+        mesh, scene, n_local, cfg, n_pos, float(disk_radius), chunk,
+        n_chunks, WAVES_THRESHOLD)
+    return run_retrace(key, scene, source, C, N)
+
+
+@_memo_program
+def _insphere_once_program(mesh, scene, n_local, cfg, n_pos, disk_radius,
+                           waves_threshold):
+    from ..core.geometry import Vec3
+    from ..core.score import hits_insphere_disk
+
+    tracer = _pick_tracer(scene, n_local, cfg, waves_threshold)
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), scene_spec(scene), P(), P(), P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+    def run_once(key, scene, src, C, N):
+        res = tracer(_per_shard_key(key, RAY_AXIS), scene, src,
+                     n_local, cfg)
+        counts = jax.lax.map(
+            lambda i: hits_insphere_disk(
+                res, Vec3(C[i, 0], C[i, 1], C[i, 2]),
+                Vec3(N[i, 0], N[i, 1], N[i, 2]), disk_radius),
+            jnp.arange(n_pos))
+        return jax.lax.psum(counts, RAY_AXIS)
+
+    return jax.jit(run_once)
+
+
+@_memo_program
+def _insphere_retrace_program(mesh, scene, n_local, cfg, n_pos, disk_radius,
+                              chunk, n_chunks, waves_threshold):
+    from ..core.geometry import Vec3
+    from ..core.score import insphere_disk_hit_mask
+
+    tracer = _pick_tracer(scene, n_local, cfg, waves_threshold)
 
     @partial(
         jax.shard_map,
@@ -608,4 +686,4 @@ def sharded_insphere(
                                  jnp.arange(n_chunks))
         return jax.lax.psum(counts.reshape(-1)[:n_pos], RAY_AXIS)
 
-    return run_retrace(key, scene, source, C, N)
+    return jax.jit(run_retrace)

@@ -11,6 +11,7 @@ import time
 import jax
 import numpy as np
 
+from ..core.memo import memo_program
 from ..config import SphereScene, Source, TraceConfig
 from ..core.score import exit_angle_histogram, exit_directions, z_angle_histogram
 from ..core.trace_waves import trace_rays_auto as trace_rays
@@ -39,6 +40,21 @@ class DistributionResult:
         return xz, yz, z
 
 
+@memo_program
+def _distribution_program(scene, source, n_rays, cfg):
+    @jax.jit
+    def run(key):
+        res = trace_rays(key, scene, source, n_rays, cfg)
+        mask, dx, dy, dz = exit_directions(res, scene.exit_port_z)
+        return (
+            exit_angle_histogram(res, exit_port_z=scene.exit_port_z),
+            z_angle_histogram(dz, mask),
+            mask, dx, dy, dz,
+        )
+
+    return run
+
+
 def run_distribution(
     scene: SphereScene,
     source: Source,
@@ -51,17 +67,7 @@ def run_distribution(
     """Trace and histogram the exit angles (10k rays in the reference macro,
     ``distributionSphereDetectorSweep.C:57``)."""
     t0 = time.perf_counter()
-
-    @jax.jit
-    def run(key):
-        res = trace_rays(key, scene, source, n_rays, cfg)
-        mask, dx, dy, dz = exit_directions(res, scene.exit_port_z)
-        return (
-            exit_angle_histogram(res, exit_port_z=scene.exit_port_z),
-            z_angle_histogram(dz, mask),
-            mask, dx, dy, dz,
-        )
-
+    run = _distribution_program(scene, source, n_rays, cfg)
     ang, dzh, mask, dx, dy, dz = jax.block_until_ready(
         run(jax.random.key(seed)))
     m = np.asarray(mask)

@@ -24,6 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import SphereScene, Source, TraceConfig
+from ..core.memo import memo_program
 from ..core.score import hits_insphere_disk, insphere_disk_position
 # engine dispatch: the disk lives outside the sphere, so ANY engine's
 # final-segment contract feeds hits_insphere_disk (the corpus scene's
@@ -39,6 +40,49 @@ class InsphereSweepResult:
     fractions: np.ndarray
     n_rays: int
     wall_time_s: float
+
+
+@memo_program
+def _insphere_retrace_program(scene, source, disk_radius, n_rays, cfg,
+                              chunk, n_chunks, P):
+    from ..core.geometry import Vec3
+    from ..core.score import insphere_disk_hit_mask
+
+    @jax.jit
+    def all_chunks(key, Cd, Nd):
+        def one(carry, i):
+            k = jax.random.fold_in(key, i)
+            res = trace_rays(k, scene, source, n_rays * chunk, cfg)
+            owner = jnp.arange(n_rays * chunk) // n_rays
+            c = jax.lax.dynamic_slice_in_dim(Cd, i * chunk, chunk)
+            nn = jax.lax.dynamic_slice_in_dim(Nd, i * chunk, chunk)
+            cen = Vec3(c[owner, 0], c[owner, 1], c[owner, 2])
+            nrm = Vec3(nn[owner, 0], nn[owner, 1], nn[owner, 2])
+            ok = insphere_disk_hit_mask(res, cen, nrm, disk_radius)
+            return carry, jnp.sum(ok.reshape(chunk, n_rays), axis=1,
+                                  dtype=jnp.int32)
+
+        _, counts = jax.lax.scan(one, jnp.zeros((), jnp.int32),
+                                 jnp.arange(n_chunks))
+        return counts.reshape(-1)[:P]
+
+    return all_chunks
+
+
+@memo_program
+def _insphere_once_program(scene, source, disk_radius, n_rays, cfg, n_pos):
+    from ..core.geometry import Vec3
+
+    @jax.jit
+    def allpos(key, Cd, Nd):
+        res = trace_rays(key, scene, source, n_rays, cfg)
+        return jax.lax.map(
+            lambda i: hits_insphere_disk(
+                res, Vec3(Cd[i, 0], Cd[i, 1], Cd[i, 2]),
+                Vec3(Nd[i, 0], Nd[i, 1], Nd[i, 2]), disk_radius),
+            jnp.arange(n_pos))
+
+    return allpos
 
 
 def sweep_insphere_detector(
@@ -101,9 +145,6 @@ def sweep_insphere_detector(
         # sampler gives every position in a chunk the same Sobol block, so
         # chunk-mates are stratified-correlated — means stay unbiased and
         # per-position errors only shrink, but they are not independent.
-        from ..core.geometry import Vec3
-        from ..core.score import insphere_disk_hit_mask
-
         P = len(tt)
         chunk = min(pos_chunk, P)
         n_chunks = -(-P // chunk)
@@ -115,43 +156,16 @@ def sweep_insphere_detector(
             padn = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]], Nd.dtype),
                             (pad, 1))
             Nd = jnp.concatenate([Nd, padn])
-
-        @jax.jit
-        def all_chunks(key):
-            def one(carry, i):
-                k = jax.random.fold_in(key, i)
-                res = trace_rays(k, scene, source, n_rays * chunk, cfg)
-                owner = jnp.arange(n_rays * chunk) // n_rays
-                c = jax.lax.dynamic_slice_in_dim(Cd, i * chunk, chunk)
-                nn = jax.lax.dynamic_slice_in_dim(Nd, i * chunk, chunk)
-                cen = Vec3(c[owner, 0], c[owner, 1], c[owner, 2])
-                nrm = Vec3(nn[owner, 0], nn[owner, 1], nn[owner, 2])
-                ok = insphere_disk_hit_mask(res, cen, nrm, disk_radius)
-                return carry, jnp.sum(ok.reshape(chunk, n_rays), axis=1,
-                                      dtype=jnp.int32)
-
-            _, counts = jax.lax.scan(one, jnp.zeros((), jnp.int32),
-                                     jnp.arange(n_chunks))
-            return counts.reshape(-1)[:P]
-
-        frac = np.asarray(all_chunks(key), np.float64) / n_rays
+        all_chunks = _insphere_retrace_program(
+            scene, source, float(disk_radius), n_rays, cfg, chunk,
+            n_chunks, P)
+        frac = np.asarray(all_chunks(key, Cd, Nd), np.float64) / n_rays
     else:
-        @jax.jit
-        def allpos(key):
-            res = trace_rays(key, scene, source, n_rays, cfg)
-
-            def per_pos(args):
-                c, n = args
-                return hits_insphere_disk(res, c, n, disk_radius)
-
-            from ..core.geometry import Vec3
-            return jax.lax.map(
-                lambda i: per_pos((
-                    Vec3(centers.x[i], centers.y[i], centers.z[i]),
-                    Vec3(normals.x[i], normals.y[i], normals.z[i]))),
-                jnp.arange(len(tt)))
-
-        frac = np.asarray(allpos(key)) / n_rays
+        Cd = jnp.stack([centers.x, centers.y, centers.z], 1)
+        Nd = jnp.stack([normals.x, normals.y, normals.z], 1)
+        allpos = _insphere_once_program(
+            scene, source, float(disk_radius), n_rays, cfg, len(tt))
+        frac = np.asarray(allpos(key, Cd, Nd)) / n_rays
 
     wall = time.perf_counter() - t0
     if save_path:

@@ -27,6 +27,7 @@ import jax
 import numpy as np
 
 from ..config import DetectorGrid, SphereScene, Source, TraceConfig, make_key, validate
+from ..core.memo import memo_program
 from ..core.score import fluxmap_retrace, fluxmap_trace_once
 from ..core.trace_waves import trace_rays_auto as trace_rays
 from ..io import (
@@ -71,6 +72,87 @@ def _metadata(scene: SphereScene, source: Source, grid: DetectorGrid,
     )
 
 
+# the sweep drivers build their jitted programs through memoized builders
+# (core/memo.py): repeated sweeps with the same configuration — replicate
+# runs, resumed runs, determinism tests — reuse the compiled program
+# instead of paying the full compile again on every call
+
+
+@memo_program
+def _trace_once_programs(scene, source, n_rays, grid, cfg, cap):
+    from ..core.score import fluxmap_trace_once_compact
+
+    @jax.jit
+    def run_trace(key):
+        return trace_rays(key, scene, source, n_rays, cfg)
+
+    @jax.jit
+    def run_score(res):
+        counts, overflow = fluxmap_trace_once_compact(
+            res, grid, cap, scene.exit_port_z)
+        n_exit = res.exited_port_mask(scene.exit_port_z).sum()
+        return counts, n_exit, overflow
+
+    return run_trace, run_score
+
+
+@memo_program
+def _replicates_program(scene, source, n_rays, grid, replicates, cfg, cap):
+    from ..core.score import fluxmap_trace_once_compact
+
+    @jax.jit
+    def run(key):
+        def one(i):
+            res = trace_rays(jax.random.fold_in(key, i), scene, source,
+                             n_rays, cfg)
+            counts, overflow = fluxmap_trace_once_compact(
+                res, grid, cap, scene.exit_port_z)
+            return counts, overflow
+
+        return jax.lax.map(one, jax.numpy.arange(replicates))
+
+    return run
+
+
+@memo_program
+def _retrace_chunk_program(scene, source, sub_shape, n_rays_per_pos, cfg,
+                           pos_chunk):
+    return jax.jit(lambda key, c, n: fluxmap_retrace(
+        key, scene, source, sub_shape, n_rays_per_pos, cfg,
+        pos_chunk=pos_chunk, centers_normals=(c, n)))
+
+
+@memo_program
+def _binomial_map_program(scene, source, grid, n_rays_per_pos, cfg,
+                          oversample):
+    from ..core.score import fluxmap_retrace_binomial
+
+    return jax.jit(lambda k: fluxmap_retrace_binomial(
+        k, scene, source, grid, n_rays_per_pos, cfg, oversample))
+
+
+@memo_program
+def _twofold_pair_program(scene, source, grid, n_rays_per_pair, cfg):
+    import jax.numpy as jnp
+
+    from ..core.geometry import detector_position, line_hits_disk
+
+    @jax.jit
+    def pair_counts(key, theta, phi):
+        res = trace_rays(key, scene, source, n_rays_per_pair, cfg)
+        mask = res.exited_port_mask(scene.exit_port_z)
+        out = []
+        for p in (phi, phi + 180.0):
+            c, n = detector_position(theta, p, grid.radius,
+                                     scene.exit_port_z)
+            hit = line_hits_disk(res.last_point, res.direction, c, n,
+                                 grid.width / 2.0)
+            out.append(jnp.sum(hit & mask, dtype=jnp.int32))
+        return jnp.stack(out)
+
+    return pair_counts
+
+
 def sweep_detector_trace_once(
     scene: SphereScene,
     source: Source,
@@ -109,20 +191,11 @@ def sweep_detector_trace_once(
             counts, n_exit = sharded_score_traced(mesh, res, scene, grid)
             return counts, n_exit, jax.numpy.zeros((), jax.numpy.int32)
     else:
-        from ..core.score import exit_capacity, fluxmap_trace_once_compact
+        from ..core.score import exit_capacity
 
         cap = exit_capacity(scene, n_rays)
-
-        @jax.jit
-        def run_trace(key):
-            return trace_rays(key, scene, source, n_rays, cfg)
-
-        @jax.jit
-        def run_score(res):
-            counts, overflow = fluxmap_trace_once_compact(
-                res, grid, cap, scene.exit_port_z)
-            n_exit = res.exited_port_mask(scene.exit_port_z).sum()
-            return counts, n_exit, overflow
+        run_trace, run_score = _trace_once_programs(scene, source, n_rays,
+                                                    grid, cfg, cap)
 
     if verbose:
         debug_stamp("Tracing all rays once")
@@ -188,25 +261,15 @@ def fluxmap_replicates(
     (digital shift / Owen seed), so the error bars measure the actual
     QMC accuracy — which binomial formulas would overestimate.
     """
-    from ..core.score import exit_capacity, fluxmap_trace_once_compact
+    from ..core.score import exit_capacity
 
     if replicates < 2:
         raise ValueError("need >= 2 replicates for a standard error")
     validate(scene, source)
     key = make_key(seed, cfg)
     cap = exit_capacity(scene, n_rays)
-
-    @jax.jit
-    def run(key):
-        def one(i):
-            res = trace_rays(jax.random.fold_in(key, i), scene, source,
-                             n_rays, cfg)
-            counts, overflow = fluxmap_trace_once_compact(
-                res, grid, cap, scene.exit_port_z)
-            return counts, overflow
-
-        return jax.lax.map(one, jax.numpy.arange(replicates))
-
+    run = _replicates_program(scene, source, n_rays, grid, replicates, cfg,
+                              cap)
     counts, overflow = run(key)
     if int(np.asarray(overflow).sum()):
         raise RuntimeError("exit-compaction overflow — statistically "
@@ -282,9 +345,8 @@ def sweep_detector_retrace(
     from ..core.score import grid_centers_normals
     C_all, N_all = grid_centers_normals(grid, scene.exit_port_z)
     sub_shape = dataclasses.replace(grid, n_theta=rows_per_chunk)
-    run = jax.jit(lambda key, c, n: fluxmap_retrace(
-        key, scene, source, sub_shape, n_rays_per_pos, cfg,
-        pos_chunk=min(32, pos_chunk), centers_normals=(c, n)))
+    run = _retrace_chunk_program(scene, source, sub_shape, n_rays_per_pos,
+                                 cfg, min(32, pos_chunk))
 
     th = np.asarray(grid.theta_centers())
     ph = np.asarray(grid.phi_centers())
@@ -359,15 +421,13 @@ def _retrace_binomial(scene, source, n_rays_per_pos, grid, seed, cfg,
                       save_folder, notify, verbose, oversample):
     """The ``engine="binomial"`` body of ``sweep_detector_retrace``: one
     device call for the whole map, same CSV dialect and footer."""
-    from ..core.score import fluxmap_retrace_binomial
-
     t_all0 = time.perf_counter()
     key = make_key(seed, cfg)
     if verbose:
         debug_stamp(f"Binomial retrace: sampling {oversample}x"
                     f"{n_rays_per_pos} shared rays")
-    run = jax.jit(lambda k: fluxmap_retrace_binomial(
-        k, scene, source, grid, n_rays_per_pos, cfg, oversample))
+    run = _binomial_map_program(scene, source, grid, n_rays_per_pos, cfg,
+                                oversample)
     t0 = time.perf_counter()
     counts = np.asarray(jax.block_until_ready(run(key)), np.float64)
     t_trace = time.perf_counter() - t0
@@ -435,26 +495,13 @@ def sweep_detector_twofold(
             stacklevel=2)
     import jax.numpy as jnp
 
-    from ..core.geometry import Vec3, detector_position, line_hits_disk
-
     t0_all = time.perf_counter()
     key = make_key(seed, cfg)
     th = np.asarray(grid.theta_centers())
     ph = np.asarray(grid.phi_centers())
     half = grid.n_phi // 2
-
-    @jax.jit
-    def pair_counts(key, theta, phi):
-        res = trace_rays(key, scene, source, n_rays_per_pair, cfg)
-        mask = res.exited_port_mask(scene.exit_port_z)
-        out = []
-        for p in (phi, phi + 180.0):
-            c, n = detector_position(theta, p, grid.radius,
-                                     scene.exit_port_z)
-            hit = line_hits_disk(res.last_point, res.direction, c, n,
-                                 grid.width / 2.0)
-            out.append(jnp.sum(hit & mask, dtype=jnp.int32))
-        return jnp.stack(out)
+    pair_counts = _twofold_pair_program(scene, source, grid,
+                                        n_rays_per_pair, cfg)
 
     fm = np.zeros((grid.n_theta, grid.n_phi))
     eta = EtaTracker(total=grid.n_theta * half)

@@ -28,6 +28,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..core.memo import memo_program
 from ..config import DetectorGrid, SphereScene, Source, TraceConfig
 from ..core.geometry import Vec3
 from ..core.sampling import mixed_brdf
@@ -122,6 +123,16 @@ class ScatterRetraceSweep:
     wall_time_s: float
 
 
+@memo_program
+def _scatter_retrace_program(scene, source, n_rays, grid, cfg):
+    @jax.jit
+    def run(key):
+        res = trace_scatter_retrace(key, scene, source, n_rays, cfg)
+        return fluxmap_trace_once(res, grid, scene.exit_port_z)
+
+    return run
+
+
 def sweep_scatter_retrace(
     scene: SphereScene,
     source: Source,
@@ -136,12 +147,7 @@ def sweep_scatter_retrace(
     10x10 cm detector, 100k rays, scored on the scattered rays.  TPU-first:
     one trace+rescatter+score call instead of re-tracing per position."""
     t0 = time.perf_counter()
-
-    @jax.jit
-    def run(key):
-        res = trace_scatter_retrace(key, scene, source, n_rays, cfg)
-        return fluxmap_trace_once(res, grid, scene.exit_port_z)
-
+    run = _scatter_retrace_program(scene, source, n_rays, grid, cfg)
     counts = np.asarray(run(jax.random.key(seed)))
     return ScatterRetraceSweep(counts / n_rays, n_rays,
                                time.perf_counter() - t0)

@@ -22,6 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import DetectorGrid, SphereScene, Source, TraceConfig
+from ..core.memo import memo_program
 from ..core.score import fluxmap_trace_once
 from ..core.trace import trace_rays
 from .observer import SweepResult, sweep_detector_trace_once
@@ -128,25 +129,8 @@ def _series_tracer(base_scene: SphereScene, port_angles, cfg: TraceConfig):
     return tracer
 
 
-def run_series_vmapped(
-    base_scene: SphereScene,
-    source: Source,
-    *,
-    port_angles: Sequence[float],
-    n_rays: int = 100_000,
-    grid: DetectorGrid = DetectorGrid(),
-    seed: int = 0,
-    cfg: TraceConfig = TraceConfig(),
-):
-    """All series members in one device call: ``vmap`` over the scene batch
-    axis.  Returns (fluxmaps [S, n_theta, n_phi] counts, exits [S]).
-
-    Members dispatch to the same engines as the sequential path — the
-    direct sampler (with the deferred-rim post-pass) for statically-
-    Lambertian scenes — because the static applicability facts are
-    computed from the concrete ``port_angles`` list before batching
-    (``_series_tracer``); scoring runs on the compacted exit subset sized
-    for the widest-port member."""
+@memo_program
+def _series_program(base_scene, source, port_angles, n_rays, grid, cfg):
     from ..core.score import exit_capacity, fluxmap_trace_once_compact
 
     scenes = stack_scenes(
@@ -169,6 +153,31 @@ def run_series_vmapped(
             lambda args: one(args[0], args[1]),
             (jnp.arange(len(port_angles)), scenes))
 
+    return run
+
+
+def run_series_vmapped(
+    base_scene: SphereScene,
+    source: Source,
+    *,
+    port_angles: Sequence[float],
+    n_rays: int = 100_000,
+    grid: DetectorGrid = DetectorGrid(),
+    seed: int = 0,
+    cfg: TraceConfig = TraceConfig(),
+):
+    """All series members in one device call: ``vmap`` over the scene batch
+    axis.  Returns (fluxmaps [S, n_theta, n_phi] counts, exits [S]).
+
+    Members dispatch to the same engines as the sequential path — the
+    direct sampler (with the deferred-rim post-pass) for statically-
+    Lambertian scenes — because the static applicability facts are
+    computed from the concrete ``port_angles`` list before batching
+    (``_series_tracer``); scoring runs on the compacted exit subset sized
+    for the widest-port member."""
+    run = _series_program(base_scene, source, tuple(float(p) for p in
+                                                    port_angles),
+                          n_rays, grid, cfg)
     counts, exits, overflow = run(jax.random.key(seed))
     if int(np.asarray(overflow).sum()):
         raise RuntimeError("exit-compaction overflow in series scoring — "

@@ -13,14 +13,22 @@ this conftest does (it is imported before any test module).
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+# ALTAIR_TEST_PLATFORM=tpu opts OUT of the CPU forcing — used only to run
+# tests/test_tpu_hardware.py (the on-real-chip Pallas pins) against the
+# tunnel device.  Everything else in the suite assumes the 8-device CPU
+# mesh and is not meant to run under it.
+_TEST_PLATFORM = os.environ.get("ALTAIR_TEST_PLATFORM", "cpu")
+
+if _TEST_PLATFORM == "cpu":
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    _flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in _flags:
+        os.environ["XLA_FLAGS"] = (
+            _flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if _TEST_PLATFORM == "cpu":
+    jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_threefry_partitionable", True)

@@ -53,11 +53,13 @@ class TestShardedFluxmap:
                             DetectorGrid(n_theta=2, n_phi=2), 1001, CFG)
 
     def test_deterministic_per_key(self, mesh):
-        grid = DetectorGrid(n_theta=2, n_phi=2)
+        # same (grid, n) as test_runs_and_matches_single_device so the
+        # memoized program is a cache hit — this test pays no compile
+        grid = DetectorGrid(n_theta=6, n_phi=4)
         a, _ = sharded_fluxmap(mesh, jax.random.key(3), SCENE,
-                               SOURCE_OVERNIGHT, grid, 8_000, CFG)
+                               SOURCE_OVERNIGHT, grid, 16_000, CFG)
         b, _ = sharded_fluxmap(mesh, jax.random.key(3), SCENE,
-                               SOURCE_OVERNIGHT, grid, 8_000, CFG)
+                               SOURCE_OVERNIGHT, grid, 16_000, CFG)
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
     def test_shards_are_independent_streams(self, mesh):
@@ -80,6 +82,7 @@ class TestShardedFluxmap:
         n_local = 1_000
         tracer = _pick_tracer(SCENE, n_local, CFG)
 
+        @jax.jit  # eager shard_map dispatch is ~7x slower to lower
         @partial(jax.shard_map, mesh=mesh,
                  in_specs=(P(), scene_spec(SCENE), P()),
                  out_specs=P(RAY_AXIS), check_vma=False)
