@@ -52,6 +52,7 @@ def profiles():
 
 
 @pytest.mark.slow
+@pytest.mark.corpus
 class TestInsphereCorpusParity:
     def test_profile_shape(self, profiles):
         ts, corpus, ours = profiles

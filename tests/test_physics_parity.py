@@ -34,7 +34,10 @@ from altair_tpu import DetectorGrid, SCENE_OPTIMIZE, SOURCE_OVERNIGHT
 from altair_tpu.core import score
 from altair_tpu.core.trace import EXITED, exit_count, trace_rays_jit
 
-pytestmark = pytest.mark.slow  # corpus-scale (100k-ray) golden tests
+# corpus-scale (100k-ray) golden pins.  Tier contract (tests/README.md):
+# quick = -m "not slow", medium = -m "slow and not corpus" (<=10 min),
+# full pins = -m corpus (runtime documented there)
+pytestmark = [pytest.mark.slow, pytest.mark.corpus]
 
 
 # [theta_deg, mean fraction, stderr] — retrace corpus, port 170 (see above).

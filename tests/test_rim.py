@@ -27,6 +27,7 @@ class TestRimPhysics:
         assert f_rim < f_simple
         assert 0.0015 < f_simple - f_rim < 0.009, (f_simple, f_rim)
 
+    @pytest.mark.corpus
     def test_rim_centers_on_corpus(self):
         """With the rim, exit fractions sit on the corpus centres
         (0.748 / 0.655 / 0.425) rather than at the range tops."""
@@ -84,6 +85,7 @@ class TestRimDeferred:
         sigma = np.sqrt(0.425 * 0.575 / N) * np.sqrt(2)
         assert abs(f_d - f_l) < 4 * sigma, (f_d, f_l)
 
+    @pytest.mark.corpus
     def test_port_sweep_centers_on_corpus(self):
         for port, center in ((160.0, 0.748), (164.0, 0.655), (170.0, 0.425)):
             res, ovf = self._defer(jax.random.key(9),
