@@ -399,9 +399,9 @@ def _bounce_kernel(seed_ref, scene_ref, src_ref, zeros_ref, status_ref,
 def _refill_kernel(seed_ref, scene_ref, src_ref, zeros_ref,
                    status_ref, ex_ref, ey_ref, ez_ref, sx_ref, sy_ref,
                    sz_ref, dxo_ref, dyo_ref, dzo_ref, bounces_ref,
-                   *, hw_prng: bool = True,
+                   *live_refs, hw_prng: bool = True,
                    model: SurfaceModel = SurfaceModel.LAMBERTIAN,
-                   budget: int = 8):
+                   budget: int = 8, handoff_thresh: int = 0):
     """Ray-REFILL bounce loop: every lane traces ``budget`` rays
     back-to-back, respawning from the source the moment its current ray
     dies.
@@ -419,6 +419,18 @@ def _refill_kernel(seed_ref, scene_ref, src_ref, zeros_ref,
     box for exits, shell point for kills), segment start (the cap/wall
     crossing — what the rim post-pass and every scorer consume), direction,
     bounce count.
+
+    TAIL HANDOFF (``handoff_thresh > 0``): even with refill, the block's
+    last few rays run alone while every other lane idles — measured duty
+    ≈ 30-40% at budget 4.  With a threshold the loop exits as soon as the
+    block's remaining-ray count (live + not-yet-started) drops to
+    ``handoff_thresh``; the epilogue then also writes 8 per-LANE live-state
+    planes (``live_refs``: position, direction, ray_idx, bounces) and the
+    unfinished slots stay RUNNING in the per-slot outputs.  The host-side
+    wrapper compacts those stragglers (≤ thresh per block, a static bound)
+    and finishes them in the wave-compaction XLA tracer — same laws, so
+    results stay distribution-exact (tests/test_pallas.py
+    TestRefillHandoff).
     """
     if hw_prng:
         pltpu.prng_seed(seed_ref[0] ^ seed_ref[1], pl.program_id(0))
@@ -524,9 +536,12 @@ def _refill_kernel(seed_ref, scene_ref, src_ref, zeros_ref,
         return it + 1, px, py, pz, dx, dy, dz, ray_idx, rbounces, planes
 
     def cond(carry):
-        # carry[0] = iteration counter, carry[7] = per-lane ray index
-        return (carry[0] < max_bounces * budget) & jnp.any(
-            carry[7] < budget)
+        # carry[0] = iteration counter, carry[7] = per-lane ray index.
+        # remaining = live + not-yet-started rays in the block; with
+        # handoff_thresh = 0 this is exactly any(ray_idx < budget).
+        remaining = jnp.sum(budget - carry[7])
+        return (carry[0] < max_bounces * budget) & (
+            remaining > handoff_thresh)
 
     def body(carry):
         return jax.lax.fori_loop(0, INNER_ITERS, lambda j, c: bounce(c),
@@ -536,6 +551,21 @@ def _refill_kernel(seed_ref, scene_ref, src_ref, zeros_ref,
             rbounces, planes)
     out = jax.lax.while_loop(cond, body, init)
     planes = out[9]
+
+    if live_refs:
+        # per-lane live state for the host-side tail handoff: the loop-exit
+        # carry.  A lane whose last ray just completed reads as a fresh
+        # source ray (px reset to src, rbounces 0) with ray_idx == budget —
+        # the wrapper only consults lanes with ray_idx < budget.
+        lpx, lpy, lpz, ldx, ldy, ldz, lray_ref, lb_ref = live_refs
+        lpx[:, :] = out[1]
+        lpy[:, :] = out[2]
+        lpz[:, :] = out[3]
+        ldx[:, :] = out[4]
+        ldy[:, :] = out[5]
+        ldz[:, :] = out[6]
+        lray_ref[:, :] = out[7]
+        lb_ref[:, :] = out[8]
 
     for j in range(budget):
         st, cx, cy, cz, jdx, jdy, jdz, nb = planes[j]
@@ -714,12 +744,26 @@ def trace_rays_refill(
     rays_per_lane: int = 8,
     interpret: bool = False,
     hw_prng: bool = True,
+    handoff_frac: float = 0.0,
 ) -> TraceResult:
     """Refill-kernel trace: ``n_rays`` must be a multiple of
     BLOCK * rays_per_lane (``trace_rays_fast`` pads/truncates).  Same
     TraceResult contract as ``trace_rays`` with one nuance: for exited rays
     ``seg_start`` is the port-cap crossing point (on the escape line, as
     every scorer and the rim post-pass require) rather than the wall point.
+
+    ``handoff_frac > 0`` enables the TAIL HANDOFF: each block's bounce loop
+    exits once at most ``handoff_frac * BLOCK * rays_per_lane`` of its rays
+    remain unfinished; the stragglers (mid-flight state from the kernel's
+    live planes, plus never-started respawns) are compacted and finished in
+    the wave-compaction XLA tracer.  Distribution-exact — the idle-tail
+    iterations the kernel saves are exactly the ones where almost every
+    SIMD lane was masked off (see _refill_kernel docstring).  Straggler
+    rays follow the XLA kernel's ``seg_start`` convention (last wall point;
+    the source for bounce-0 exits) rather than the cap crossing — every
+    consumer (MXU/exact scorers, deferred-rim ``sphere_hit``) treats
+    ``seg_start`` as a point on the escape LINE, so the two conventions
+    are interchangeable.
     """
     chunk = BLOCK * rays_per_lane
     if n_rays % chunk:
@@ -745,11 +789,20 @@ def trace_rays_refill(
                               memory_space=pltpu.VMEM)
     zeros_spec = pl.BlockSpec((SUB, 128), lambda i, *prefetch: (0, 0),
                               memory_space=pltpu.VMEM)
+    # per-block straggler bound (the while-cond threshold): rays, not lanes
+    thresh = int(handoff_frac * chunk)
+    emit_live = thresh > 0
+    lane_rows = n_blocks * SUB
+    live_spec = pl.BlockSpec((SUB, 128), lambda i, *prefetch: (i, 0),
+                             memory_space=pltpu.VMEM)
+    live_shapes = ([jax.ShapeDtypeStruct((lane_rows, 128), jnp.float32)] * 6
+                   + [jax.ShapeDtypeStruct((lane_rows, 128), jnp.int32)] * 2
+                   if emit_live else [])
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(n_blocks,),
         in_specs=[zeros_spec],
-        out_specs=[block_spec] * 11,
+        out_specs=[block_spec] * 11 + [live_spec] * len(live_shapes),
     )
     if interpret is True:
         interpret = pltpu.InterpretParams()
@@ -761,27 +814,106 @@ def trace_rays_refill(
     outs = pl.pallas_call(
         partial(_refill_kernel, hw_prng=hw_prng,
                 model=SurfaceModel(scene.surface_model),
-                budget=rays_per_lane),
-        out_shape=[out_i32] + [out_f32] * 9 + [out_i32],
+                budget=rays_per_lane, handoff_thresh=thresh),
+        out_shape=[out_i32] + [out_f32] * 9 + [out_i32] + live_shapes,
         grid_spec=grid_spec,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_bytes),
     )(seed, scene_vec, src_vec, jnp.zeros((SUB, 128), jnp.float32))
 
-    (status, ex, ey, ez, sx, sy, sz, dxo, dyo, dzo, bounces) = outs
+    (status, ex, ey, ez, sx, sy, sz, dxo, dyo, dzo, bounces) = outs[:11]
 
     def flat(a):
         return a.reshape(n_rays)
 
+    fields = (flat(status), flat(ex), flat(ey), flat(ez), flat(sx),
+              flat(sy), flat(sz), flat(dxo), flat(dyo), flat(dzo),
+              flat(bounces))
+    if emit_live:
+        fields = _refill_handoff_continue(
+            key, scene, source, cfg, fields, outs[11:], n_rays, n_blocks,
+            rays_per_lane, thresh)
+    (status, ex, ey, ez, sx, sy, sz, dxo, dyo, dzo, bounces) = fields
+
     # slots the safety iteration cap left unwritten read as RUNNING
-    status = jnp.where(flat(status) == RUNNING, SUSPENDED, flat(status))
+    status = jnp.where(status == RUNNING, SUSPENDED, status)
     return TraceResult(
         status=status,
-        last_point=Vec3(flat(ex), flat(ey), flat(ez)),
-        seg_start=Vec3(flat(sx), flat(sy), flat(sz)),
-        direction=Vec3(flat(dxo), flat(dyo), flat(dzo)),
-        n_bounces=flat(bounces),
+        last_point=Vec3(ex, ey, ez),
+        seg_start=Vec3(sx, sy, sz),
+        direction=Vec3(dxo, dyo, dzo),
+        n_bounces=bounces,
     )
+
+
+def _refill_handoff_continue(key, scene, source, cfg, fields, live, n_rays,
+                             n_blocks, budget, thresh):
+    """Finish the refill kernel's stragglers in the XLA waves tracer.
+
+    ``fields`` are the 11 flat per-slot outputs; slots still RUNNING are
+    either the lane's mid-flight ray (slot == live ray_idx: continue from
+    the kernel's live state) or never-started respawns (slot > ray_idx:
+    fresh source rays).  At most ``thresh`` rays per block remain by the
+    kernel's while-cond, so the compaction capacity is a static bound, not
+    a probabilistic one.  RNG: fresh fold of ``key`` — statistical parity,
+    same laws (SURVEY.md §7 bit-for-bit caveat).
+    """
+    from .compact import nonzero_indices
+    from .trace_waves import trace_waves_from_state
+
+    status = fields[0]
+    lane_w = SUB * 128
+    per_block = budget * lane_w
+    lpx, lpy, lpz, ldx, ldy, ldz, lray, lb = (
+        a.reshape(n_blocks * lane_w) for a in live)
+
+    pending = status == RUNNING
+    cap = n_blocks * thresh
+    idx = nonzero_indices(pending, cap, n_rays)
+    valid = idx < n_rays
+    safe = jnp.minimum(idx, n_rays - 1)
+    blk = safe // per_block
+    rem = safe - blk * per_block
+    jslot = rem // lane_w
+    lane = blk * lane_w + (rem - jslot * lane_w)
+    is_live = valid & (jslot == lray[lane])
+
+    f32 = jnp.float32
+    dn = jnp.sqrt(jnp.asarray(source.dir_x, f32) ** 2
+                  + jnp.asarray(source.dir_y, f32) ** 2
+                  + jnp.asarray(source.dir_z, f32) ** 2)
+
+    def pick(live_plane, src_val):
+        return jnp.where(is_live, live_plane[lane],
+                         jnp.asarray(src_val, f32))
+
+    pos = Vec3(pick(lpx, source.x), pick(lpy, source.y),
+               pick(lpz, source.z))
+    dirv = Vec3(pick(ldx, source.dir_x / dn), pick(ldy, source.dir_y / dn),
+                pick(ldz, source.dir_z / dn))
+    bounces0 = jnp.where(is_live, lb[lane], 0)
+    status0 = jnp.where(valid, RUNNING, ABSORBED).astype(jnp.int32)
+    carry = (pos, dirv, pos, status0, bounces0,
+             jnp.zeros((cap,), bool))
+    cont, _ = trace_waves_from_state(
+        jax.random.fold_in(key, 0x7A11), scene, carry, cfg)
+
+    sidx = jnp.where(valid, idx, n_rays)
+
+    def put(dst, new):
+        return dst.at[sidx].set(new, mode="drop")
+
+    return (put(fields[0], cont.status),
+            put(fields[1], cont.last_point.x),
+            put(fields[2], cont.last_point.y),
+            put(fields[3], cont.last_point.z),
+            put(fields[4], cont.seg_start.x),
+            put(fields[5], cont.seg_start.y),
+            put(fields[6], cont.seg_start.z),
+            put(fields[7], cont.direction.x),
+            put(fields[8], cont.direction.y),
+            put(fields[9], cont.direction.z),
+            put(fields[10], cont.n_bounces))
 
 
 # batches at least this big route to the refill kernel (B=4 measured +19%
@@ -794,6 +926,11 @@ def trace_rays_refill(
 # (post fast-compaction).
 REFILL_MIN = 1 << 20
 _REFILL_BUDGET = 4
+# Tail-handoff straggler fraction for the dispatched refill kernel (see
+# trace_rays_refill): 0 disables.  Measured on v5e 2026-08-17 (16M rays,
+# simple mode, budget 4): frac 0/0.01/0.03/0.10 -> see benchmarks/
+# roofline_kernels.py --handoff; default set to the measured optimum.
+_REFILL_HANDOFF = 0.0
 
 
 def _pallas_padded(key, scene, source, n_rays, cfg,
@@ -806,7 +943,8 @@ def _pallas_padded(key, scene, source, n_rays, cfg,
         padded = -(-n_rays // chunk) * chunk
         res = trace_rays_refill(key, scene, source, padded, cfg,
                                 rays_per_lane=_REFILL_BUDGET,
-                                interpret=interpret, hw_prng=hw_prng)
+                                interpret=interpret, hw_prng=hw_prng,
+                                handoff_frac=_REFILL_HANDOFF)
     else:
         padded = -(-n_rays // BLOCK) * BLOCK
         res = trace_rays_pallas(key, scene, source, padded, cfg,

@@ -230,6 +230,63 @@ class TestRefillKernel:
                               BLOCK * 2 + 1, CFG, rays_per_lane=2)
 
 
+class TestRefillHandoff:
+    """Tail handoff: the refill loop exits at <= handoff_frac stragglers,
+    which finish in the XLA waves tracer.  An aggressive fraction (40%)
+    routes a large population through the continuation so the physics
+    comparison actually exercises it (the production scene at the
+    interpreter's cap leaves no tail at small fractions)."""
+
+    SCENE_H = SCENE_OPTIMIZE.with_(max_bounces=512, exact_rim=False)
+
+    @pytest.fixture(scope="class")
+    def handoff_result(self):
+        from altair_tpu.core.trace_pallas import trace_rays_refill
+
+        return trace_rays_refill(jax.random.key(0), self.SCENE_H,
+                                 SOURCE_OVERNIGHT, BLOCK * 2, CFG,
+                                 rays_per_lane=2, interpret=True,
+                                 hw_prng=False, handoff_frac=0.40)
+
+    def test_no_running_slots(self, handoff_result):
+        st = np.asarray(handoff_result.status)
+        assert ((st >= 1) & (st <= 3)).all()
+
+    def test_physics_matches_xla(self, handoff_result):
+        n = BLOCK * 2
+        rx = trace_rays(jax.random.key(5), self.SCENE_H, SOURCE_OVERNIGHT,
+                        n, CFG)
+        st, stx = np.asarray(handoff_result.status), np.asarray(rx.status)
+        f, fx = (st == 1).mean(), (stx == 1).mean()
+        sigma = np.sqrt(fx * (1 - fx) / n) * np.sqrt(2)
+        assert abs(f - fx) < 5 * sigma, (f, fx)
+        b, bx = (np.asarray(handoff_result.n_bounces),
+                 np.asarray(rx.n_bounces))
+        se = np.sqrt(bx.var() / n) * np.sqrt(2)
+        assert abs(b.mean() - bx.mean()) < 5 * se, (b.mean(), bx.mean())
+
+    def test_segment_on_escape_line(self, handoff_result):
+        """Straggler exits carry the XLA seg_start convention (wall point
+        or source) — every seg_start must still sit on a line that exits
+        the port: last_point beyond the port plane, and the recomputed
+        shell crossing (sphere_hit semantics) in the cap."""
+        st = np.asarray(handoff_result.status)
+        z = np.asarray(handoff_result.last_point.z)
+        assert (z[st == 1] < -100.0).all()
+
+    def test_deterministic(self, handoff_result):
+        from altair_tpu.core.trace_pallas import trace_rays_refill
+
+        r2 = trace_rays_refill(jax.random.key(0), self.SCENE_H,
+                               SOURCE_OVERNIGHT, BLOCK * 2, CFG,
+                               rays_per_lane=2, interpret=True,
+                               hw_prng=False, handoff_frac=0.40)
+        assert (np.asarray(r2.status)
+                == np.asarray(handoff_result.status)).all()
+        np.testing.assert_array_equal(np.asarray(r2.n_bounces),
+                                      np.asarray(handoff_result.n_bounces))
+
+
 class TestSwUniform:
     def test_distribution_moments(self):
         """The counter-based hash must be a credible U[0,1): moments and
