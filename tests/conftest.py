@@ -32,3 +32,18 @@ import jax  # noqa: E402
 if _TEST_PLATFORM == "cpu":
     jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_threefry_partitionable", True)
+
+# Persistent XLA compilation cache: suite runtime on this 1-core box is
+# dominated by CPU compiles (medium tier measured 21 min cold / ~7 min
+# warm — tests/README.md), and the cache key is the optimized HLO, so
+# code changes invalidate exactly the programs they touch.  Same-machine
+# AOT loads log a benign "prefer-no-scatter/gather" feature-mismatch
+# E-line; correctness is unaffected (the suite re-validates physics).
+if _TEST_PLATFORM == "cpu":
+    _cache = os.environ.get(
+        "ALTAIR_TEST_COMPILE_CACHE",
+        os.path.expanduser("~/.cache/altair_tpu_test_xla"))
+    if _cache != "off":
+        jax.config.update("jax_compilation_cache_dir", _cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

@@ -29,6 +29,15 @@ def worker(coordinator: str, num_processes: int, process_id: int,
     import jax
 
     jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    # persistent compile cache — a fresh process pays full XLA compiles
+    # otherwise (same policy/dir as tests/conftest.py)
+    cache = os.environ.get(
+        "ALTAIR_TEST_COMPILE_CACHE",
+        os.path.expanduser("~/.cache/altair_tpu_test_xla"))
+    if cache != "off" and os.environ["JAX_PLATFORMS"] == "cpu":
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     jax.distributed.initialize(coordinator_address=coordinator,
                                num_processes=num_processes,
                                process_id=process_id)
