@@ -687,3 +687,103 @@ def _insphere_retrace_program(mesh, scene, n_local, cfg, n_pos, disk_radius,
         return jax.lax.psum(counts.reshape(-1)[:n_pos], RAY_AXIS)
 
     return jax.jit(run_retrace)
+
+
+def sharded_scatter_retrace(
+    mesh: Mesh,
+    key: jax.Array,
+    scene: SphereScene,
+    source: Source,
+    grid,
+    n_rays: int,
+    cfg: TraceConfig = TraceConfig(),
+    only_rescatter_absorbed: bool = False,
+):
+    """Multi-chip two-stage scatter-retrace (``nonLambertianFlux.C:235-304``
+    methodology; ``sweep/scatter_retrace.py``).
+
+    Both stages are embarrassingly parallel over rays — trace, endpoint
+    re-scatter and re-trace all stay chip-local; the only communication is
+    one ``psum`` of the ``[n_theta, n_phi]`` hit map.  Returns int32 counts
+    out of ``n_rays`` total.
+    """
+    n_dev = mesh.devices.size
+    if n_rays % n_dev:
+        raise ValueError(f"n_rays={n_rays} must divide over {n_dev} devices")
+    run = _scatter_retrace_mesh_program(
+        mesh, scene, grid, n_rays // n_dev, cfg,
+        bool(only_rescatter_absorbed))
+    return run(key, scene, source)
+
+
+@_memo_program
+def _scatter_retrace_mesh_program(mesh, scene, grid, n_local, cfg, only_abs):
+    from ..core.score import fluxmap_trace_once
+    from ..sweep.scatter_retrace import trace_scatter_retrace
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), scene_spec(scene), P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+    def run(key, scene, src):
+        k = _per_shard_key(key, RAY_AXIS)
+        res = trace_scatter_retrace(k, scene, src, n_local, cfg, only_abs)
+        counts = fluxmap_trace_once(res, grid, scene.exit_port_z)
+        return jax.lax.psum(counts, RAY_AXIS)
+
+    return jax.jit(run)
+
+
+def sharded_distribution(
+    mesh: Mesh,
+    key: jax.Array,
+    scene: SphereScene,
+    source: Source,
+    n_rays: int,
+    cfg: TraceConfig = TraceConfig(),
+):
+    """Multi-chip exit angular-distribution run
+    (``distributionSphereDetectorSweep.C`` / ``sweep/distribution.py``).
+
+    Histograms are psum-merged; the per-ray exit-direction payload (the
+    ``3dRayLog.txt`` product) comes back SHARDED over the ray axis —
+    device-local until the caller materialises it (``np.asarray``), so the
+    gather rides the host readback the caller already pays.
+
+    Returns ``(angle_hist [180], dz_hist [100], mask [n], dx, dy, dz)``.
+    """
+    n_dev = mesh.devices.size
+    if n_rays % n_dev:
+        raise ValueError(f"n_rays={n_rays} must divide over {n_dev} devices")
+    run = _distribution_mesh_program(mesh, scene, n_rays // n_dev, cfg)
+    return run(key, scene, source)
+
+
+@_memo_program
+def _distribution_mesh_program(mesh, scene, n_local, cfg):
+    from ..core.score import (
+        exit_angle_histogram, exit_directions, z_angle_histogram)
+
+    tracer = _pick_tracer(scene, n_local, cfg, WAVES_THRESHOLD)
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), scene_spec(scene), P()),
+        out_specs=(P(), P(), P(RAY_AXIS), P(RAY_AXIS), P(RAY_AXIS),
+                   P(RAY_AXIS)),
+        check_vma=False,
+    )
+    def run(key, scene, src):
+        res = tracer(_per_shard_key(key, RAY_AXIS), scene, src, n_local, cfg)
+        mask, dx, dy, dz = exit_directions(res, scene.exit_port_z)
+        ang = jax.lax.psum(
+            exit_angle_histogram(res, exit_port_z=scene.exit_port_z),
+            RAY_AXIS)
+        dzh = jax.lax.psum(z_angle_histogram(dz, mask), RAY_AXIS)
+        return ang, dzh, mask, dx, dy, dz
+
+    return jax.jit(run)

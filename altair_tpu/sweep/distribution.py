@@ -63,13 +63,25 @@ def run_distribution(
     seed: int = 0,
     cfg: TraceConfig = TraceConfig(),
     keep_directions: bool = True,
+    mesh=None,
 ) -> DistributionResult:
     """Trace and histogram the exit angles (10k rays in the reference macro,
-    ``distributionSphereDetectorSweep.C:57``)."""
+    ``distributionSphereDetectorSweep.C:57``).
+
+    ``mesh``: shard the trace over a device mesh
+    (``parallel.sharded_distribution`` — histograms psum-merged, the
+    direction payload gathered with the host readback below)."""
     t0 = time.perf_counter()
-    run = _distribution_program(scene, source, n_rays, cfg)
-    ang, dzh, mask, dx, dy, dz = jax.block_until_ready(
-        run(jax.random.key(seed)))
+    if mesh is not None:
+        from ..parallel.mesh import sharded_distribution
+
+        ang, dzh, mask, dx, dy, dz = jax.block_until_ready(
+            sharded_distribution(mesh, jax.random.key(seed), scene, source,
+                                 n_rays, cfg))
+    else:
+        run = _distribution_program(scene, source, n_rays, cfg)
+        ang, dzh, mask, dx, dy, dz = jax.block_until_ready(
+            run(jax.random.key(seed)))
     m = np.asarray(mask)
     dirs = (np.stack([np.asarray(dx)[m], np.asarray(dy)[m],
                       np.asarray(dz)[m]], axis=1)

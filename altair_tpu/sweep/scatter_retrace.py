@@ -98,13 +98,15 @@ def trace_scatter_retrace(
 
     endpoint = first.last_point
     normal = endpoint.normalized()           # endpoint.Unit()  (:259)
-    incident = Vec3.full((n_rays,), (0.0, 0.0, 0.0))
-    dnorm = float(np.sqrt(float(source.dir_x) ** 2 + float(source.dir_y) ** 2
-                          + float(source.dir_z) ** 2))
+    # trace-safe (the source may be a tracer inside shard_map programs)
+    sdx = jnp.asarray(source.dir_x, cfg.dtype)
+    sdy = jnp.asarray(source.dir_y, cfg.dtype)
+    sdz = jnp.asarray(source.dir_z, cfg.dtype)
+    dnorm = jnp.sqrt(sdx * sdx + sdy * sdy + sdz * sdz)
     incident = Vec3(
-        jnp.full((n_rays,), float(source.dir_x) / dnorm, cfg.dtype),
-        jnp.full((n_rays,), float(source.dir_y) / dnorm, cfg.dtype),
-        jnp.full((n_rays,), float(source.dir_z) / dnorm, cfg.dtype),
+        jnp.broadcast_to(sdx / dnorm, (n_rays,)),
+        jnp.broadcast_to(sdy / dnorm, (n_rays,)),
+        jnp.broadcast_to(sdz / dnorm, (n_rays,)),
     )
     new_dir = mixed_brdf(k2, incident, normal, scene.specular_prob,
                          scene.diffuse_prob, scene.brdf_roughness)
@@ -142,12 +144,23 @@ def sweep_scatter_retrace(
                                       height=10.0),
     seed: int = 0,
     cfg: TraceConfig = TraceConfig(),
+    mesh=None,
 ) -> ScatterRetraceSweep:
     """``sweepDetector`` of nonLambertianFlux.C (``:307-387``): 45x20 grid,
     10x10 cm detector, 100k rays, scored on the scattered rays.  TPU-first:
-    one trace+rescatter+score call instead of re-tracing per position."""
+    one trace+rescatter+score call instead of re-tracing per position.
+
+    ``mesh``: shard the ray axis over a device mesh
+    (``parallel.sharded_scatter_retrace`` — both stages chip-local, one
+    histogram psum)."""
     t0 = time.perf_counter()
-    run = _scatter_retrace_program(scene, source, n_rays, grid, cfg)
-    counts = np.asarray(run(jax.random.key(seed)))
+    if mesh is not None:
+        from ..parallel.mesh import sharded_scatter_retrace
+
+        counts = np.asarray(sharded_scatter_retrace(
+            mesh, jax.random.key(seed), scene, source, grid, n_rays, cfg))
+    else:
+        run = _scatter_retrace_program(scene, source, n_rays, grid, cfg)
+        counts = np.asarray(run(jax.random.key(seed)))
     return ScatterRetraceSweep(counts / n_rays, n_rays,
                                time.perf_counter() - t0)
