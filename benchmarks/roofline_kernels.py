@@ -1,0 +1,160 @@
+#!/usr/bin/env python
+"""Roofline / MFU accounting for the two PRODUCTION engines (VERDICT r2 #5).
+
+run_all.py rooflines the superseded XLA while-loop tier from XLA's own
+cost analysis; the two engines that actually run production are opaque to
+that method (the Pallas kernel is a Mosaic black box) or were simply
+never accounted (the direct sampler).  This script measures both:
+
+1. **Pallas refill kernel slot rate** — a no-early-exit configuration
+   (reflectance 1.0, port closed) makes every ray die by suspension at
+   exactly ``max_bounces`` iterations, so the executed slot-iteration
+   count is EXACTLY n_rays * max_bounces: the measured wall-clock gives
+   the kernel's per-slot-bounce cost with zero duty-cycle ambiguity.
+   Swept over ``rays_per_lane`` (budget) to expose the cost of the
+   per-slot result-parking selects (8 planes x budget selects per
+   iteration — the only term that scales with budget).
+2. **Duty cycle at production** — the production workload's useful-
+   bounce rate (rays/s x mean bounces) over the slot rate says how much
+   of the kernel's iteration capacity does useful work vs idles in the
+   refill tail.
+3. **Direct sampler** — pure XLA, so flops/bytes per ray come from the
+   compiled program's own cost analysis; measured rays/s then gives
+   achieved FLOP/s, %VPU and %HBM directly, per rng_impl and qmc mode.
+
+Usage:  python benchmarks/roofline_kernels.py [--json OUT.json] [--n 16777216]
+"""
+
+import argparse
+import json
+import time
+
+# v5e peaks — keep in sync with run_all.py
+V5E_PEAK = {"vpu_fp32_flops": 3.9e12, "hbm_bytes_s": 819e9}
+
+
+def _readback(x):
+    import jax
+    import jax.numpy as jnp
+    jax.block_until_ready(x)
+    return float(jnp.asarray(jax.tree.leaves(x)[0]).ravel()[0])
+
+
+def timeit(f, *args, repeats=3):
+    _readback(f(*args))  # compile + warm
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        _readback(f(*args))
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--json", default=None)
+    ap.add_argument("--n", type=int, default=16 * (1 << 20))
+    ap.add_argument("--slot-bounces", type=int, default=64,
+                    help="fixed bounce count for the slot-rate run "
+                         "(multiple of INNER_ITERS)")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from altair_tpu import SCENE_OPTIMIZE, SOURCE_OVERNIGHT, TraceConfig
+    from altair_tpu.core.trace_pallas import (
+        BLOCK, INNER_ITERS, trace_rays_refill)
+    from altair_tpu.core.trace_direct import trace_rays_direct
+
+    out = {"device": jax.devices()[0].device_kind, "n_rays": args.n}
+
+    def log(k, v):
+        out[k] = v
+        print(f"[{k}] {v}", flush=True)
+
+    src = SOURCE_OVERNIGHT
+    K = args.slot_bounces
+    assert K % INNER_ITERS == 0, "partial INNER_ITERS block would blur count"
+
+    # ---- 1. slot rate: no early exit => slot-iterations == n * K ----------
+    # port ~closed (cap fraction ~8e-9 => ~8 escapes per 1e9 wall hits,
+    # <1e-6 relative slot-count error) + reflectance 1 => every ray
+    # suspends at exactly K iterations, lanes in lockstep.
+    sc_slot = SCENE_OPTIMIZE.with_(reflectance=1.0, theta_max_deg=179.99,
+                                   max_bounces=K, exact_rim=False)
+    for budget in (1, 2, 4, 8):
+        n = (args.n // (BLOCK * budget)) * (BLOCK * budget)
+        f = jax.jit(lambda k, b=budget, nn=n: trace_rays_refill(
+            k, sc_slot, src, nn, TraceConfig(), rays_per_lane=b)
+            .status.sum())
+        t = timeit(f, jax.random.key(0), repeats=2)
+        rate = n * K / t
+        log(f"slot_bounces_per_s_budget{budget}", round(rate))
+    slot_rate = out["slot_bounces_per_s_budget4"]  # the shipped budget
+
+    # ---- 2. production duty cycle (shipped budget=4, simple mode) ---------
+    sc_prod = SCENE_OPTIMIZE.with_(max_bounces=4096, exact_rim=False)
+    n = (args.n // (BLOCK * 4)) * (BLOCK * 4)
+    res_fn = jax.jit(lambda k: trace_rays_refill(
+        k, sc_prod, src, n, TraceConfig(), rays_per_lane=4))
+    res = res_fn(jax.random.key(1))
+    mean_b = float(res.n_bounces.mean())
+    f = jax.jit(lambda k: res_fn(k).status.sum())
+    t = timeit(f, jax.random.key(1), repeats=2)
+    rays_s = n / t
+    useful = rays_s * mean_b
+    log("refill_prod_rays_per_s", round(rays_s))
+    log("refill_prod_mean_bounces", round(mean_b, 2))
+    log("refill_useful_bounces_per_s", round(useful))
+    log("refill_duty_pct", round(100 * useful / slot_rate, 1))
+
+    # ---- 2b. tail-handoff sweep: straggler fraction x budget --------------
+    # the handoff trades idle-tail kernel iterations for one compaction +
+    # a small waves-tracer continuation; past some fraction the
+    # continuation itself dominates.
+    for budget in (4, 8):
+        for frac in (0.005, 0.01, 0.03, 0.06):
+            nb = (args.n // (BLOCK * budget)) * (BLOCK * budget)
+            f = jax.jit(lambda k, b=budget, fr=frac, nn=nb:
+                        trace_rays_refill(
+                            k, sc_prod, src, nn, TraceConfig(),
+                            rays_per_lane=b, handoff_frac=fr).status.sum())
+            t = timeit(f, jax.random.key(1), repeats=2)
+            log(f"refill_handoff_b{budget}_f{frac}_rays_per_s",
+                round(nb / t))
+
+    # ---- 3. direct sampler: XLA cost analysis + measured rate -------------
+    sc_dir = SCENE_OPTIMIZE.with_(exact_rim=False)
+    for label, cfg in (
+            ("threefry", TraceConfig()),
+            ("rbg", TraceConfig(rng_impl="rbg")),
+            ("qmc", TraceConfig(qmc=1))):
+        f = jax.jit(lambda k, c=cfg: trace_rays_direct(
+            k, sc_dir, src, args.n, c).status.sum())
+        key = jax.random.key(2, impl=cfg.rng_impl)
+        lowered = f.lower(key).compile()
+        ca = lowered.cost_analysis()
+        ca = ca[0] if isinstance(ca, list) else (ca or {})
+        flops_ray = float(ca.get("flops", 0.0)) / args.n
+        transc_ray = float(ca.get("transcendentals", 0.0)) / args.n
+        bytes_ray = float(ca.get("bytes accessed", 0.0)) / args.n
+        t = timeit(f, key, repeats=3)
+        rate = args.n / t
+        log(f"direct_{label}_rays_per_s", round(rate))
+        log(f"direct_{label}_flops_per_ray", round(flops_ray, 1))
+        log(f"direct_{label}_transc_per_ray", round(transc_ray, 1))
+        log(f"direct_{label}_bytes_per_ray", round(bytes_ray, 1))
+        log(f"direct_{label}_vpu_pct",
+            round(100 * rate * flops_ray / V5E_PEAK["vpu_fp32_flops"], 1))
+        log(f"direct_{label}_hbm_pct",
+            round(100 * rate * bytes_ray / V5E_PEAK["hbm_bytes_s"], 1))
+
+    if args.json:
+        with open(args.json, "w") as fh:
+            json.dump(out, fh, indent=2)
+        print(f"wrote {args.json}")
+
+
+if __name__ == "__main__":
+    main()
