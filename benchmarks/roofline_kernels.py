@@ -57,6 +57,9 @@ def main():
     ap.add_argument("--slot-bounces", type=int, default=64,
                     help="fixed bounce count for the slot-rate run "
                          "(multiple of INNER_ITERS)")
+    ap.add_argument("--handoff", action="store_true",
+                    help="also sweep tail-handoff fraction x budget "
+                         "(8 extra programs = 8 remote compiles)")
     args = ap.parse_args()
 
     import jax
@@ -113,7 +116,7 @@ def main():
     # the handoff trades idle-tail kernel iterations for one compaction +
     # a small waves-tracer continuation; past some fraction the
     # continuation itself dominates.
-    for budget in (4, 8):
+    for budget in (4, 8) if args.handoff else ():
         for frac in (0.005, 0.01, 0.03, 0.06):
             nb = (args.n // (BLOCK * budget)) * (BLOCK * budget)
             f = jax.jit(lambda k, b=budget, fr=frac, nn=nb:
