@@ -51,6 +51,23 @@ def _cfg(args):
     return TraceConfig(qmc=args.qmc)
 
 
+def _mesh(args):
+    """--mesh: a 1-D mesh over every visible device (multi-chip sweeps;
+    SURVEY.md §2.4 — pure ray-axis data parallelism, one psum)."""
+    if not getattr(args, "mesh", False):
+        return None
+    from .parallel import make_mesh
+
+    return make_mesh()
+
+
+def _add_mesh_arg(p: argparse.ArgumentParser):
+    p.add_argument("--mesh", action="store_true",
+                   help="shard the ray axis over all visible devices "
+                        "(parallel.make_mesh); single-device runs are "
+                        "unaffected without it")
+
+
 def _scene_source(args):
     from .config import SphereScene, Source, SurfaceModel
 
@@ -112,13 +129,15 @@ def cmd_fluxmap(args):
     if args.method == "trace-once":
         res = sweep_detector_trace_once(
             scene, source, n_rays=args.rays, grid=grid, seed=args.seed,
-            cfg=cfg, save_folder=args.out, notify=args.notify)
+            cfg=cfg, save_folder=args.out, notify=args.notify,
+            mesh=_mesh(args))
     else:
         res = sweep_detector_retrace(
             scene, source, n_rays_per_pos=args.rays, grid=grid,
             seed=args.seed, cfg=cfg, save_folder=args.out,
             notify=args.notify, resume_path=args.resume,
-            engine=args.retrace_engine, oversample=args.oversample)
+            engine=args.retrace_engine, oversample=args.oversample,
+            mesh=_mesh(args))
     print(f"total {res.total_time_s:.3f}s  trace {res.trace_time_s:.3f}s")
     return 0
 
@@ -155,7 +174,7 @@ def cmd_distribution(args):
 
     scene, source = _scene_source(args)
     d = run_distribution(scene, source, n_rays=args.rays, seed=args.seed,
-                         cfg=_cfg(args))
+                         cfg=_cfg(args), mesh=_mesh(args))
     print(f"Flux of rays through the exit port: {d.n_exited}")
     if args.ray_log:
         write_ray_log(args.ray_log, d.directions)
@@ -172,7 +191,8 @@ def cmd_insphere(args):
     r = sweep_insphere_detector(
         scene, source, disk_radius=args.disk_radius, n_rays=args.rays,
         dtheta=args.dtheta, theta_max=args.theta_max,
-        save_path=args.out_file, retrace=args.retrace, cfg=_cfg(args))
+        save_path=args.out_file, retrace=args.retrace, cfg=_cfg(args),
+        mesh=_mesh(args))
     print(f"{len(r.thetas)} positions in {r.wall_time_s:.2f}s -> "
           f"{args.out_file}")
     return 0
@@ -208,7 +228,8 @@ def cmd_scatter_retrace(args):
     grid = DetectorGrid(n_theta=args.theta_bins, n_phi=args.phi_bins,
                         width=args.detector_size, height=args.detector_size)
     sw = sweep_scatter_retrace(scene, source, n_rays=args.rays, grid=grid,
-                               seed=args.seed, cfg=_cfg(args))
+                               seed=args.seed, cfg=_cfg(args),
+                               mesh=_mesh(args))
     np.savetxt(args.out_file,
                np.column_stack([
                    np.repeat((np.arange(grid.n_theta) + 0.5)
@@ -240,6 +261,7 @@ def main(argv=None) -> int:
 
     p = sub.add_parser("fluxmap", help="observer flux-map sweep")
     _add_scene_args(p)
+    _add_mesh_arg(p)
     p.add_argument("--method", choices=["trace-once", "retrace"],
                    default="trace-once")
     p.add_argument("--rays", type=int, default=100_000,
@@ -281,6 +303,7 @@ def main(argv=None) -> int:
 
     p = sub.add_parser("distribution", help="exit angular distribution")
     _add_scene_args(p)
+    _add_mesh_arg(p)
     p.add_argument("--rays", type=int, default=10_000)
     p.add_argument("--ray-log", default=None,
                    help="write 3dRayLog.txt-dialect directions here")
@@ -290,6 +313,7 @@ def main(argv=None) -> int:
 
     p = sub.add_parser("insphere", help="in-sphere detector-disk sweep")
     _add_scene_args(p)
+    _add_mesh_arg(p)
     p.add_argument("--rays", type=int, default=100_000)
     p.add_argument("--disk-radius", type=float, default=5.0)
     p.add_argument("--dtheta", type=float, default=0.5)
@@ -315,6 +339,7 @@ def main(argv=None) -> int:
                        help="two-stage BRDF scatter-retrace sweep "
                             "(nonLambertianFlux methodology)")
     _add_scene_args(p)
+    _add_mesh_arg(p)
     p.add_argument("--rays", type=int, default=100_000)
     p.add_argument("--theta-bins", type=int, default=45)
     p.add_argument("--phi-bins", type=int, default=20)

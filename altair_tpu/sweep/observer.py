@@ -295,6 +295,7 @@ def sweep_detector_retrace(
     resume_path: str | None = None,
     engine: str = "simulate",
     oversample: int = 128,
+    mesh=None,
 ) -> SweepResult:
     """Fresh rays for every detector position, chunked with per-chunk CSV
     flush (the overnight production path, crash-resilient like the
@@ -309,7 +310,13 @@ def sweep_detector_retrace(
     ``oversample * n_rays_per_pos``-ray trace: marginal means exact,
     ``1/oversample`` relative excess variance (see
     ``fluxmap_retrace_binomial``) — the whole sweep is a single device
-    call, so chunked flushing and ``resume_path`` do not apply."""
+    call, so chunked flushing and ``resume_path`` do not apply.
+
+    ``mesh``: shard the per-position ray batches over a device mesh
+    (``parallel.sharded_retrace`` / ``sharded_retrace_binomial`` — counts
+    add across chips, one psum).  The sharded simulate sweep runs the map
+    as one program, so per-chunk flushing and ``resume_path`` do not
+    apply."""
     validate(scene, source)
     if engine == "binomial":
         if resume_path is not None:
@@ -319,9 +326,15 @@ def sweep_detector_retrace(
                 "(re-running is cheaper than the partial CSV)")
         return _retrace_binomial(scene, source, n_rays_per_pos, grid, seed,
                                  cfg, save_folder, notify, verbose,
-                                 oversample)
+                                 oversample, mesh)
     if engine != "simulate":
         raise ValueError(f"unknown retrace engine {engine!r}")
+    if mesh is not None:
+        if resume_path is not None:
+            raise ValueError("mesh retrace runs the whole map as one "
+                             "sharded program — no chunked flush to resume")
+        return _retrace_sharded(scene, source, n_rays_per_pos, grid, seed,
+                                cfg, save_folder, notify, verbose, mesh)
     t_all0 = time.perf_counter()
     key = make_key(seed, cfg)
     P = grid.n_positions
@@ -417,8 +430,50 @@ def sweep_detector_retrace(
                        total - t_trace, total)
 
 
+def _retrace_sharded(scene, source, n_rays_per_pos, grid, seed, cfg,
+                     save_folder, notify, verbose, mesh):
+    """``mesh`` body of the simulate-engine ``sweep_detector_retrace``:
+    the whole honest retrace map as one sharded program (per-position ray
+    batches split over chips, one psum), same CSV dialect and footer."""
+    from ..parallel.mesh import sharded_retrace
+
+    t_all0 = time.perf_counter()
+    key = make_key(seed, cfg)
+    if verbose:
+        debug_stamp(f"Sharded retrace over {mesh.devices.size} devices")
+    t0 = time.perf_counter()
+    counts = np.asarray(jax.block_until_ready(
+        sharded_retrace(mesh, key, scene, source, grid, n_rays_per_pos,
+                        cfg)), np.float64)
+    t_trace = time.perf_counter() - t0
+    fm = counts / n_rays_per_pos
+
+    total = time.perf_counter() - t_all0
+    total_hits = int(round(counts.sum()))
+    path = None
+    if save_folder is not None:
+        meta = _metadata(scene, source, grid, n_rays_per_pos,
+                         trace_once=False)
+        fname = fluxmap_filename(
+            n_rays_per_pos, grid.n_theta, grid.n_phi,
+            (float(source.x), float(source.y), float(source.z)),
+            trace_once=False)
+        with FluxmapWriter(os.path.join(save_folder, fname), meta) as w:
+            w.write_map(np.asarray(grid.theta_centers()),
+                        np.asarray(grid.phi_centers()), fm)
+            w.write_footer(total, total_hits=total_hits,
+                           n_total=n_rays_per_pos * grid.n_positions)
+            path = w.path
+        if verbose:
+            print(f"\nFlux map data saved to '{path}'")
+    if notify:
+        notify_bell()
+    return SweepResult(path, fm, -1, n_rays_per_pos, t_trace,
+                       total - t_trace, total)
+
+
 def _retrace_binomial(scene, source, n_rays_per_pos, grid, seed, cfg,
-                      save_folder, notify, verbose, oversample):
+                      save_folder, notify, verbose, oversample, mesh=None):
     """The ``engine="binomial"`` body of ``sweep_detector_retrace``: one
     device call for the whole map, same CSV dialect and footer."""
     t_all0 = time.perf_counter()
@@ -426,10 +481,18 @@ def _retrace_binomial(scene, source, n_rays_per_pos, grid, seed, cfg,
     if verbose:
         debug_stamp(f"Binomial retrace: sampling {oversample}x"
                     f"{n_rays_per_pos} shared rays")
-    run = _binomial_map_program(scene, source, grid, n_rays_per_pos, cfg,
-                                oversample)
     t0 = time.perf_counter()
-    counts = np.asarray(jax.block_until_ready(run(key)), np.float64)
+    if mesh is not None:
+        from ..parallel.mesh import sharded_retrace_binomial
+
+        counts = np.asarray(jax.block_until_ready(
+            sharded_retrace_binomial(mesh, key, scene, source, grid,
+                                     n_rays_per_pos, cfg,
+                                     oversample=oversample)), np.float64)
+    else:
+        run = _binomial_map_program(scene, source, grid, n_rays_per_pos,
+                                    cfg, oversample)
+        counts = np.asarray(jax.block_until_ready(run(key)), np.float64)
     t_trace = time.perf_counter() - t0
     if verbose:
         debug_stamp(f"Binomial retrace completed in {t_trace:.4f} s")

@@ -89,6 +89,32 @@ class TestTraceOnceSweep:
 
 
 class TestRetraceSweep:
+    @pytest.mark.slow
+    def test_mesh_route_matches_local(self, tmp_path):
+        """sweep_detector_retrace(mesh=...) — both engines route through
+        the sharded programs and write the same CSV dialect."""
+        from altair_tpu.parallel import make_mesh
+
+        mesh = make_mesh()
+        grid = DetectorGrid(n_theta=4, n_phi=2)
+        kw = dict(n_rays_per_pos=1_600, grid=grid, verbose=False)
+        local = sweep_detector_retrace(SCENE, SOURCE_OVERNIGHT, seed=3,
+                                       save_folder=None, **kw)
+        sh = sweep_detector_retrace(SCENE, SOURCE_OVERNIGHT, seed=4,
+                                    save_folder=str(tmp_path), mesh=mesh,
+                                    **kw)
+        sigma = np.sqrt(np.maximum(local.fluxmap, 1e-6) / 1_600) * 4 + 0.008
+        assert (np.abs(sh.fluxmap - local.fluxmap) < sigma).all()
+        assert sh.path and sh.path.endswith(".csv")
+        shb = sweep_detector_retrace(SCENE, SOURCE_OVERNIGHT, seed=5,
+                                     save_folder=None, mesh=mesh,
+                                     engine="binomial", oversample=16, **kw)
+        assert (np.abs(shb.fluxmap - local.fluxmap) < sigma).all()
+        with pytest.raises(ValueError):
+            sweep_detector_retrace(SCENE, SOURCE_OVERNIGHT, seed=6,
+                                   save_folder=None, mesh=mesh,
+                                   resume_path="x.csv", **kw)
+
     def test_matches_trace_once(self, tmp_path):
         grid = DetectorGrid(n_theta=4, n_phi=2)
         once = sweep_detector_trace_once(
