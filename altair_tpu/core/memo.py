@@ -21,7 +21,9 @@ from __future__ import annotations
 
 import functools
 
-__all__ = ["memo_program"]
+__all__ = ["memo_program", "clear_memo"]
+
+_REGISTRY = []
 
 
 def memo_program(builder):
@@ -39,4 +41,13 @@ def memo_program(builder):
         return hit
 
     get.cache = cache
+    _REGISTRY.append(cache)
     return get
+
+
+def clear_memo():
+    """Drop every memoized program (their jitted closures pin compiled
+    executables; long-lived processes — the test suite — clear between
+    workloads to bound live-executable count)."""
+    for cache in _REGISTRY:
+        cache.clear()

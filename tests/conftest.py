@@ -33,6 +33,26 @@ if _TEST_PLATFORM == "cpu":
     jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_threefry_partitionable", True)
 
+# Free compiled programs between test modules: a single pytest process
+# accumulates hundreds of live XLA:CPU executables across the suite, and
+# past ~250 programs the NEXT compilation segfaults inside
+# backend_compile_and_load (deterministic at tests/test_trace_direct.py::
+# test_recursive_hybrid_consistent_across_buffer_sizes when quick+medium
+# run combined; each tier alone is fine).  Dropping caches per module
+# bounds the live-executable count; with the persistent compile cache
+# below, cross-module re-uses come back as cheap AOT loads.
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    yield
+    jax.clear_caches()
+    from altair_tpu.core.memo import clear_memo
+
+    clear_memo()
+
+
 # Persistent XLA compilation cache: suite runtime on this 1-core box is
 # dominated by CPU compiles (medium tier measured 21 min cold / ~7 min
 # warm — tests/README.md), and the cache key is the optimized HLO, so
