@@ -286,6 +286,31 @@ class TestRefillHandoff:
         np.testing.assert_array_equal(np.asarray(r2.n_bounces),
                                       np.asarray(handoff_result.n_bounces))
 
+    @pytest.mark.slow
+    def test_multi_block_grid(self):
+        """n_blocks > 1 exercises the straggler (block, slot, lane) index
+        arithmetic — each block gets its own threshold and live planes."""
+        from altair_tpu.core.trace_pallas import trace_rays_refill
+
+        scene = SCENE_OPTIMIZE.with_(max_bounces=256, exact_rim=False)
+        n = BLOCK * 2 * 2  # 2 blocks at budget 2
+        r = trace_rays_refill(jax.random.key(3), scene, SOURCE_OVERNIGHT,
+                              n, CFG, rays_per_lane=2, interpret=True,
+                              hw_prng=False, handoff_frac=0.40)
+        st = np.asarray(r.status)
+        assert ((st >= 1) & (st <= 3)).all()
+        rx = trace_rays(jax.random.key(6), scene, SOURCE_OVERNIGHT,
+                        BLOCK * 2, CFG)
+        f, fx = (st == 1).mean(), (np.asarray(rx.status) == 1).mean()
+        sigma = np.sqrt(fx * (1 - fx) / (BLOCK * 2)) * np.sqrt(2)
+        assert abs(f - fx) < 5 * sigma, (f, fx)
+        # per-block exit fractions agree (block-independent respawn law)
+        f0 = (st[:n // 2] == 1).mean()
+        f1 = (st[n // 2:] == 1).mean()
+        assert abs(f0 - f1) < 5 * np.sqrt(fx * (1 - fx) / (n // 2)) * 2
+        z = np.asarray(r.last_point.z)
+        assert (z[st == 1] < -100.0).all()
+
 
 class TestSwUniform:
     def test_distribution_moments(self):
