@@ -858,7 +858,7 @@ def _refill_handoff_continue(key, scene, source, cfg, fields, live, n_rays,
     a probabilistic one.  RNG: fresh fold of ``key`` — statistical parity,
     same laws (SURVEY.md §7 bit-for-bit caveat).
     """
-    from .compact import nonzero_indices
+    from .compact import nonzero_indices_grouped
     from .trace_waves import trace_waves_from_state
 
     status = fields[0]
@@ -869,7 +869,12 @@ def _refill_handoff_continue(key, scene, source, cfg, fields, live, n_rays,
 
     pending = status == RUNNING
     cap = n_blocks * thresh
-    idx = nonzero_indices(pending, cap, n_rays)
+    # grouped compaction: pending is sparse (<= handoff_frac).  With
+    # group_capacity == cap >= |pending| >= |pending groups| the grouped
+    # path provably drops nothing (see its docstring), so the counter is
+    # discarded.
+    idx, _ = nonzero_indices_grouped(pending, cap, n_rays,
+                                     group_capacity=cap)
     valid = idx < n_rays
     safe = jnp.minimum(idx, n_rays - 1)
     blk = safe // per_block
