@@ -787,3 +787,55 @@ def _distribution_mesh_program(mesh, scene, n_local, cfg):
         return ang, dzh, mask, dx, dy, dz
 
     return jax.jit(run)
+
+
+def sharded_twofold_pair(
+    mesh: Mesh,
+    key: jax.Array,
+    scene: SphereScene,
+    source: Source,
+    grid,
+    n_rays: int,
+    cfg: TraceConfig,
+    theta,
+    phi,
+):
+    """Multi-chip twofold pair (``sweepDetectorTwofold``,
+    ``fluxAtObserverFast.C:336-408``): one fresh batch split over chips,
+    scored against the antipodal detector pair (theta, phi)/(theta,
+    phi+180); one ``psum`` of the 2-vector of hit counts.  Driven per pair
+    by ``sweep_detector_twofold(mesh=...)``.
+    """
+    n_dev = mesh.devices.size
+    if n_rays % n_dev:
+        raise ValueError(f"n_rays={n_rays} must divide over {n_dev} devices")
+    run = _twofold_pair_mesh_program(mesh, scene, grid, n_rays // n_dev, cfg)
+    return run(key, scene, source, jnp.float32(theta), jnp.float32(phi))
+
+
+@_memo_program
+def _twofold_pair_mesh_program(mesh, scene, grid, n_local, cfg):
+    from ..core.geometry import detector_position, line_hits_disk
+
+    tracer = _pick_tracer(scene, n_local, cfg, WAVES_THRESHOLD)
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), scene_spec(scene), P(), P(), P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+    def run(key, scene, src, theta, phi):
+        res = tracer(_per_shard_key(key, RAY_AXIS), scene, src, n_local, cfg)
+        mask = res.exited_port_mask(scene.exit_port_z)
+        out = []
+        for p in (phi, phi + 180.0):
+            c, n = detector_position(theta, p, grid.radius,
+                                     scene.exit_port_z)
+            hit = line_hits_disk(res.last_point, res.direction, c, n,
+                                 grid.width / 2.0)
+            out.append(jnp.sum(hit & mask, dtype=jnp.int32))
+        return jax.lax.psum(jnp.stack(out), RAY_AXIS)
+
+    return jax.jit(run)

@@ -533,6 +533,7 @@ def sweep_detector_twofold(
     save_folder: str | None = "results",
     notify: bool = False,
     verbose: bool = True,
+    mesh=None,
 ) -> SweepResult:
     """Twofold reuse: one fresh batch per antipodal position pair
     (phi, phi+180) — halves the traced batches exactly like
@@ -540,6 +541,8 @@ def sweep_detector_twofold(
 
     Requires an even ``n_phi``.  Implemented as a retrace over the half-phi
     grid where each batch is scored against both mirror positions.
+    ``mesh``: split each pair's batch over a device mesh
+    (``parallel.sharded_twofold_pair``, one psum per pair).
     """
     if grid.n_phi % 2:
         raise ValueError("twofold needs an even n_phi")
@@ -563,8 +566,15 @@ def sweep_detector_twofold(
     th = np.asarray(grid.theta_centers())
     ph = np.asarray(grid.phi_centers())
     half = grid.n_phi // 2
-    pair_counts = _twofold_pair_program(scene, source, grid,
-                                        n_rays_per_pair, cfg)
+    if mesh is not None:
+        from ..parallel.mesh import sharded_twofold_pair
+
+        def pair_counts(k, theta, phi):
+            return sharded_twofold_pair(mesh, k, scene, source, grid,
+                                        n_rays_per_pair, cfg, theta, phi)
+    else:
+        pair_counts = _twofold_pair_program(scene, source, grid,
+                                            n_rays_per_pair, cfg)
 
     fm = np.zeros((grid.n_theta, grid.n_phi))
     eta = EtaTracker(total=grid.n_theta * half)

@@ -142,6 +142,20 @@ class TestTwofoldSweep:
         sigma = np.sqrt(np.maximum(once.fluxmap, 1e-6) / 10_000) * 3 + 0.004
         assert (np.abs(two.fluxmap - once.fluxmap) < sigma).all()
 
+    @pytest.mark.slow
+    def test_mesh_route_matches_local(self):
+        from altair_tpu.parallel import make_mesh
+
+        grid = DetectorGrid(n_theta=2, n_phi=4)
+        local = sweep_detector_twofold(
+            SCENE, SOURCE_OVERNIGHT, n_rays_per_pair=8_000, grid=grid,
+            seed=6, save_folder=None, verbose=False)
+        sh = sweep_detector_twofold(
+            SCENE, SOURCE_OVERNIGHT, n_rays_per_pair=8_000, grid=grid,
+            seed=7, save_folder=None, verbose=False, mesh=make_mesh())
+        sigma = np.sqrt(np.maximum(local.fluxmap, 1e-6) / 8_000) * 4 + 0.006
+        assert (np.abs(sh.fluxmap - local.fluxmap) < sigma).all()
+
 
 class TestSeries:
     def test_sequential_series_folders(self, tmp_path):
