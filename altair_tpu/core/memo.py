@@ -20,14 +20,24 @@ cache hit.
 from __future__ import annotations
 
 import functools
+import os
 
-__all__ = ["memo_program", "clear_memo"]
+__all__ = ["memo_program", "clear_memo", "MEMO_CAPACITY"]
 
 _REGISTRY = []
 
+# Per-builder LRU bound.  Cached programs pin live compiled executables,
+# and XLA:CPU deterministically crashes past ~250 live executables in one
+# process (tests/conftest.py) — an unbounded cache in a long-lived sweep
+# service would walk into that.  16 distinct configurations per driver
+# covers every workflow in the repo (sweeps reuse ONE program across rows);
+# ALTAIR_MEMO_CAPACITY overrides for unusual many-config services.
+MEMO_CAPACITY = int(os.environ.get("ALTAIR_MEMO_CAPACITY", 16))
+
 
 def memo_program(builder):
-    """Memoize ``builder(*static_args)`` on its (hashable) arguments."""
+    """Memoize ``builder(*static_args)`` on its (hashable) arguments,
+    keeping at most ``MEMO_CAPACITY`` programs per builder (LRU)."""
     cache = {}
 
     @functools.wraps(builder)
@@ -37,7 +47,14 @@ def memo_program(builder):
         except TypeError:            # unhashable static: no caching
             return builder(*key)
         if hit is None:
-            hit = cache[key] = builder(*key)
+            hit = builder(*key)
+            while len(cache) >= max(1, MEMO_CAPACITY):
+                cache.pop(next(iter(cache)))   # evict least-recent
+            cache[key] = hit
+        else:
+            # refresh recency (dict preserves insertion order)
+            del cache[key]
+            cache[key] = hit
         return hit
 
     get.cache = cache

@@ -207,7 +207,12 @@ def _score_grid(E, D, rowmask, grid: DetectorGrid, exit_port_z, pos_chunk,
         # coordinates.
         anchor = jnp.array([0.0, 0.0, exit_port_z], jnp.float32)
         W = _plucker_weights(C - anchor[None, :], Nrm, half_w)
-        Phi = _plucker_features(E.astype(jnp.float32) - anchor[None, :], D)
+        # subtract in E's own dtype THEN cast: for float64 traces the
+        # anchoring cancellation happens at full precision, so the f32
+        # features carry the small relative-coordinate values exactly
+        # (ADVICE r3: cast-then-subtract forfeited that win)
+        E_rel = (E - anchor.astype(E.dtype)[None, :]).astype(jnp.float32)
+        Phi = _plucker_features(E_rel, D)
         Wb = W.reshape(n_chunks, chunk, 21)
         Nb = Nrm.reshape(n_chunks, chunk, 3)
 

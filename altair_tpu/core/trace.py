@@ -54,6 +54,24 @@ class TraceResult(NamedTuple):
         return (self.status == EXITED) & (self.last_point.z < exit_port_z)
 
 
+class RimOverflow(NamedTuple):
+    """Capacity diagnostics from ``trace_rays_rim_deferred``.
+
+    ``total`` keeps the historical scalar contract (``int(ovf)`` still
+    works): every lane the deferred-rim pass could not process, from any
+    level.  ``grouped_drops`` separates the level-2 group-capacity drops
+    of the grouped compaction (cushion ~1.25x) from plain clip-capacity
+    excess (cushion ~2.8x), so an overflow's cause is distinguishable
+    (ADVICE r3: folding them hid which capacity bound).
+    """
+
+    total: jax.Array          # [] int32 — all unprocessed clip lanes
+    grouped_drops: jax.Array  # [] int32 — level-2 group-capacity drops only
+
+    def __int__(self) -> int:
+        return int(self.total)
+
+
 def _source_rays(source: Source, n: int, dtype) -> tuple[Vec3, Vec3]:
     shape = (n,)
     pos = Vec3(
@@ -553,10 +571,13 @@ def trace_rays_rim_deferred(
        chains and recursive rim clips included;
     4. continuation results are scattered back over the clipped lanes.
 
-    Returns ``(TraceResult, n_overflow)``.  ``n_overflow`` counts clipped
-    rays beyond the buffer (left as optimistic EXITED); with the default
-    16x capacity vs the ~2-4% expectation it is zero for every reference
-    scene — same contract as the wave tracer's overflow.
+    Returns ``(TraceResult, RimOverflow)``.  ``RimOverflow.total`` counts
+    clipped rays beyond the buffer (left as optimistic EXITED); with the
+    default 16x capacity vs the ~2-4% expectation it is zero for every
+    reference scene — same scalar contract as the wave tracer's overflow
+    (``int()`` works).  ``RimOverflow.grouped_drops`` isolates level-2
+    group-capacity drops so the tighter grouped-compaction bound is
+    distinguishable from clip-capacity excess when nonzero.
 
     The continuation's bounce budget restarts at ``scene.max_bounces``
     (a clipped ray can therefore exceed the cap by up to one extra budget);
@@ -605,7 +626,7 @@ def trace_rays_rim_deferred(
     idx, valid, (c_pt, c_dir, c_prev), (c_b,), dropped = _compact_gather(
         clipped, [rim_pt, res.direction, res.seg_start], [res.n_bounces],
         m, n_rays, group_capacity=max(256, m >> 1))
-    n_overflow = n_overflow + dropped
+    n_overflow = n_overflow + dropped  # RimOverflow keeps dropped separate too
     c_bounces = c_b + valid.astype(jnp.int32)
 
     # first rim bounce (the in-loop kernel's rim branch, applied once):
@@ -674,7 +695,7 @@ def trace_rays_rim_deferred(
         seg_start=sv(res.seg_start, prev),
         direction=sv(res.direction, direction),
         n_bounces=res.n_bounces.at[sidx].set(bounces, mode="drop"),
-    ), n_overflow
+    ), RimOverflow(total=n_overflow, grouped_drops=dropped)
 
 
 def exit_count(result: TraceResult, exit_port_z=-100.0) -> jax.Array:

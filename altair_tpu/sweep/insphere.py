@@ -98,7 +98,7 @@ def sweep_insphere_detector(
     seed: int = 0,
     cfg: TraceConfig = TraceConfig(),
     retrace: bool = False,
-    pos_chunk: int = 8,
+    pos_chunk: int | None = None,
     save_path: str | None = "detector_sweep3.txt",
     aimed: bool = False,
     mesh=None,
@@ -112,7 +112,10 @@ def sweep_insphere_detector(
     see ``insphere_disk_position``.  ``mesh``: a 1-D device mesh (from
     ``altair_tpu.parallel.make_mesh``) shards the ray axis over chips for
     BOTH methodologies (``parallel.sharded_insphere``); one ``psum``
-    merges the per-chip counts."""
+    merges the per-chip counts.  ``pos_chunk``: disk positions batched
+    per device call on the retrace paths (None = 8 single-chip, or the
+    measured per-device default of ``sharded_insphere`` under a mesh);
+    an explicit value is honored on both routes."""
     t0 = time.perf_counter()
     thetas = np.arange(-theta_max, theta_max + dtheta / 2, dtheta)
     phis = np.arange(0.0, 360.0, dphi)
@@ -132,7 +135,7 @@ def sweep_insphere_detector(
         Nd = jnp.stack([normals.x, normals.y, normals.z], 1)
         counts = sharded_insphere(mesh, key, scene, source, Cd, Nd,
                                   disk_radius, n_rays, cfg,
-                                  retrace=retrace)
+                                  retrace=retrace, pos_chunk=pos_chunk)
         frac = np.asarray(counts, np.float64) / n_rays
     elif retrace:
         # Fresh rays per position, BATCHED: ``pos_chunk`` disk positions
@@ -146,7 +149,7 @@ def sweep_insphere_detector(
         # chunk-mates are stratified-correlated — means stay unbiased and
         # per-position errors only shrink, but they are not independent.
         P = len(tt)
-        chunk = min(pos_chunk, P)
+        chunk = min(8 if pos_chunk is None else pos_chunk, P)
         n_chunks = -(-P // chunk)
         pad = n_chunks * chunk - P
         Cd = jnp.stack([centers.x, centers.y, centers.z], 1)

@@ -16,8 +16,57 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 import argparse
 import json
+import os
+import subprocess
 import sys
 import time
+
+
+def _await_backend(window_s: float, probe_timeout_s: float) -> None:
+    """Fail fast (and retry within a bounded window) if the device backend
+    cannot initialize, instead of hanging or dying with a raw traceback.
+
+    The axon remote-TPU tunnel this box uses can be down for hours; a raw
+    ``jax.devices()`` then hangs ~2 min before raising.  Probe in a
+    subprocess (so a hung init cannot wedge this process), retry with
+    backoff until ``window_s`` is exhausted, then print ONE machine-readable
+    JSON diagnostic line and exit 1.  VERDICT r3 weak-#1.
+    """
+    probe = ("import jax; d = jax.devices()[0]; "
+             "print(d.platform, d.device_kind)")
+    deadline = time.monotonic() + window_s
+    delay = 15.0
+    attempt = 0
+    last = ""
+    while True:
+        attempt += 1
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", probe], capture_output=True,
+                text=True, timeout=probe_timeout_s)
+            if r.returncode == 0:
+                if attempt > 1:
+                    sys.stderr.write(
+                        f"# backend up after {attempt} probes\n")
+                return
+            last = (r.stderr.strip().splitlines() or ["?"])[-1][:300]
+        except subprocess.TimeoutExpired:
+            last = f"probe timed out after {probe_timeout_s:.0f}s"
+        remaining = deadline - time.monotonic()
+        if remaining <= 0:
+            print(json.dumps({
+                "metric": "fluxmap_traceonce_100k_180x90_wall",
+                "value": None, "unit": "seconds", "vs_baseline": None,
+                "error": "backend_unavailable",
+                "detail": last, "probes": attempt,
+                "window_s": window_s,
+            }))
+            sys.exit(1)
+        sys.stderr.write(
+            f"# backend unavailable (probe {attempt}: {last}); "
+            f"retrying in {delay:.0f}s ({remaining:.0f}s left)\n")
+        time.sleep(min(delay, max(remaining, 0.0)))
+        delay = min(delay * 2, 120.0)
 
 
 def main():
@@ -36,7 +85,19 @@ def main():
                          "the amortized-per-map number (the single-call "
                          "latency is ~30 ms transport floor, not kernel "
                          "time; K maps per dispatch amortize it away)")
+    ap.add_argument("--probe-window", type=float,
+                    default=float(os.environ.get(
+                        "ALTAIR_BENCH_PROBE_WINDOW", 900.0)),
+                    help="max seconds to wait (with backoff) for the device "
+                         "backend before emitting a machine-readable "
+                         "failure line and exiting 1")
+    ap.add_argument("--probe-timeout", type=float, default=150.0,
+                    help="per-probe subprocess timeout (tunnel-down init "
+                         "hangs ~120 s before raising)")
     args = ap.parse_args()
+
+    if args.probe_window > 0:
+        _await_backend(args.probe_window, args.probe_timeout)
 
     import jax
 

@@ -38,9 +38,13 @@ def worker(coordinator: str, num_processes: int, process_id: int,
         jax.config.update("jax_compilation_cache_dir", cache)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    # bounded join: if the coordinator died (or lost the port race, see
+    # launch()) fail this attempt in 120 s instead of jax's default 300 s
+    # so the launcher's retry still fits the test's 560 s budget
     jax.distributed.initialize(coordinator_address=coordinator,
                                num_processes=num_processes,
-                               process_id=process_id)
+                               process_id=process_id,
+                               initialization_timeout=120)
 
     from altair_tpu import DetectorGrid, SCENE_OPTIMIZE, SOURCE_OVERNIGHT, TraceConfig
     from altair_tpu.parallel import make_mesh, sharded_fluxmap
@@ -74,21 +78,43 @@ def worker(coordinator: str, num_processes: int, process_id: int,
     return 0
 
 
-def launch(n_processes: int, n_rays: int) -> int:
-    """Spawn n worker processes on this machine (CPU backend)."""
-    port = 17717
-    procs = []
+def _free_port() -> int:
+    """OS-assigned free TCP port.  A fixed port made concurrent runs of
+    the demo (e.g. two pytest processes on one box) collide on the
+    coordinator bind; the small bind-then-release race that remains is
+    covered by the retry in ``launch``."""
+    import socket
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def launch(n_processes: int, n_rays: int, attempts: int = 2) -> int:
+    """Spawn n worker processes on this machine (CPU backend).
+
+    Cluster bring-up on a loaded 1-core host is timing-sensitive
+    (coordinator bind + N gRPC joins racing arbitrary CPU load), so a
+    failed attempt is retried once on a fresh port before reporting
+    failure."""
     env = dict(os.environ, JAX_PLATFORMS="cpu")
     env.pop("PALLAS_AXON_POOL_IPS", None)  # see .claude/skills/verify
-    for i in range(n_processes):
-        procs.append(subprocess.Popen(
+    rc = 1
+    for attempt in range(attempts):
+        port = _free_port()
+        procs = [subprocess.Popen(
             [sys.executable, __file__, "--coordinator",
              f"localhost:{port}", "--num-processes", str(n_processes),
              "--process-id", str(i), "--rays", str(n_rays)],
-            env=env))
-    rc = 0
-    for p in procs:
-        rc |= p.wait(timeout=600)
+            env=env) for i in range(n_processes)]
+        rc = 0
+        for p in procs:
+            rc |= p.wait(timeout=600)
+        if rc == 0:
+            return 0
+        print(f"[launch] attempt {attempt + 1}/{attempts} failed rc={rc}"
+              + (", retrying on a fresh port" if attempt + 1 < attempts
+                 else ""), flush=True)
     return rc
 
 
