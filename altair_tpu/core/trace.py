@@ -324,6 +324,15 @@ def trace_rays_jit(key, scene, source, n_rays, cfg=TraceConfig()):
 
 # continuations at least this wide wave-compact their own bounce tail
 _WAVES_CONTINUATION_MIN = 65536
+# Wave schedule of the rim continuation for scenes WITHOUT a closed-form
+# finish (non-Lambertian walls — the nonLambertianFlux.C production path).
+# The clip buffer enters at ~1/2.8 occupancy, so a short first wave +
+# early compaction trims the dead padding before the long bounce tail;
+# measured on v5e by benchmarks/roofline_kernels.py --simulate-split
+# (RIM_CONT_FIRST_WAVE=None means "same as RIM_CONT_WAVE_ITERS").
+RIM_CONT_WAVE_ITERS = 96
+RIM_CONT_SHRINK = 4
+RIM_CONT_FIRST_WAVE: int | None = None
 # hybrid-continuation tails at least this wide recurse into the hybrid
 # instead of running the in-loop kernel to extinction (module constant so
 # tests can lower it and exercise the recursive branch at small N)
@@ -668,9 +677,10 @@ def trace_rays_rim_deferred(
         # keeps >=1.6x headroom even for worst-case (small-port) survival.
         from .trace_waves import trace_waves_from_state
 
-        res_c, _ = trace_waves_from_state(k_cont, scene, carry, cfg,
-                                          wave_iters=96, shrink=4,
-                                          min_wave=16384)
+        res_c, _ = trace_waves_from_state(
+            k_cont, scene, carry, cfg,
+            wave_iters=RIM_CONT_WAVE_ITERS, shrink=RIM_CONT_SHRINK,
+            min_wave=16384, first_wave_iters=RIM_CONT_FIRST_WAVE)
         pos, direction, prev = (res_c.last_point, res_c.direction,
                                 res_c.seg_start)
         status, bounces = res_c.status, res_c.n_bounces

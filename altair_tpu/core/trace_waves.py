@@ -37,6 +37,7 @@ def trace_rays_waves(
     wave_iters: int = 256,
     shrink: int = 16,
     min_wave: int = 65536,
+    first_wave_iters: int | None = None,
 ) -> tuple[TraceResult, jax.Array]:
     """Returns (TraceResult, n_overflow).  ``n_overflow`` is the number of
     rays that could not be carried into a compacted wave (suspended early);
@@ -59,7 +60,7 @@ def trace_rays_waves(
     state = (pos, direction, pos, jnp.zeros(shape, jnp.int32),
              jnp.zeros(shape, jnp.int32), jnp.zeros(shape, bool))
     return trace_waves_from_state(key, scene, state, cfg, wave_iters,
-                                  shrink, min_wave)
+                                  shrink, min_wave, first_wave_iters)
 
 
 def trace_waves_from_state(
@@ -70,12 +71,21 @@ def trace_waves_from_state(
     wave_iters: int = 256,
     shrink: int = 16,
     min_wave: int = 65536,
+    first_wave_iters: int | None = None,
 ) -> tuple[TraceResult, jax.Array]:
     """Wave-compaction trace from an arbitrary mid-flight ray state
     ``(pos, direction, prev, status, bounces, in_gap)`` (the bounce-step
     carry).  Used directly by ``trace_rays_waves`` (source init) and by the
     deferred-rim continuation, whose large-batch tail would otherwise run
-    uncompacted."""
+    uncompacted.
+
+    ``first_wave_iters`` (None = ``wave_iters``) shortens only wave 0: a
+    caller whose entry state is mostly DEAD lanes (the rim continuation's
+    compaction buffer runs at ~1/2.8 occupancy) compacts the padding away
+    after a few iterations instead of carrying it for a full wave — pick
+    ``shrink`` so the first capacity ``n // shrink`` still covers the
+    worst-case live count, since a short first wave kills far fewer lanes
+    before the first compaction."""
     pos, direction, prev0, status0, bounces0, in_gap0 = state
     n_rays = pos.x.shape[0]
     shape = (n_rays,)
@@ -93,7 +103,8 @@ def trace_waves_from_state(
     wkey = jax.random.fold_in(key, 0)
     step = make_bounce_step(wkey, scene, n_rays, cfg)
     carry = (pos, direction, prev0, status0, bounces0, in_gap0)
-    iters = min(wave_iters, max_iters)
+    iters = min(wave_iters if first_wave_iters is None
+                else first_wave_iters, max_iters)
     carry = jax.lax.fori_loop(0, iters, step, carry)
     it0 += iters
     pos, direction, prev, status, bounces, in_gap = carry

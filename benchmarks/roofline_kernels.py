@@ -60,6 +60,11 @@ def main():
     ap.add_argument("--handoff", action="store_true",
                     help="also sweep tail-handoff fraction x budget "
                          "(8 extra programs = 8 remote compiles)")
+    ap.add_argument("--simulate-split", action="store_true",
+                    help="also split the simulate tier's exact-rim cost "
+                         "(kernel vs rim post-pass) and sweep the rim "
+                         "continuation's wave schedule "
+                         "(8 extra programs = 8 remote compiles)")
     args = ap.parse_args()
 
     import jax
@@ -126,6 +131,57 @@ def main():
             t = timeit(f, jax.random.key(1), repeats=2)
             log(f"refill_handoff_b{budget}_f{frac}_rays_per_s",
                 round(nb / t))
+
+    # ---- 2c. simulate-tier rim split (VERDICT r3 #4) -----------------------
+    # Where does the exact-rim post-pass cost go on the simulate tier?
+    # Simple-mode rate vs exact-rim rate gives the post-pass cost; the rim
+    # continuation (non-closed-form walls take the WAVES branch of
+    # trace_rays_rim_deferred) enters its 1/2.8-occupancy clip buffer for a
+    # full 96-iteration wave before compacting, so the sweep varies the
+    # first-wave length / shrink (trace.RIM_CONT_*) to find the schedule
+    # optimum for both the Lambertian simulate benchmark workload and the
+    # MIXED_BRDF production scene (nonLambertianFlux.C:307-387).
+    if args.simulate_split:
+        from altair_tpu.config import SurfaceModel
+        from altair_tpu.core import trace as trace_mod
+        from altair_tpu.core.trace_pallas import trace_rays_fast
+
+        cfgsim = TraceConfig(engine="simulate")
+        n = (args.n // (BLOCK * 4)) * (BLOCK * 4)
+        scenes = (
+            ("lamb", SCENE_OPTIMIZE.with_(max_bounces=4096)),
+            ("brdf", SCENE_OPTIMIZE.with_(
+                max_bounces=4096, surface_model=SurfaceModel.MIXED_BRDF)),
+        )
+        defaults = (trace_mod.RIM_CONT_FIRST_WAVE, trace_mod.RIM_CONT_SHRINK,
+                    trace_mod.RIM_CONT_WAVE_ITERS)
+        try:
+            for name, sc in scenes:
+                f = jax.jit(lambda k, s=sc.with_(exact_rim=False):
+                            trace_rays_fast(k, s, src, n, cfgsim)
+                            .status.sum())
+                t = timeit(f, jax.random.key(3), repeats=2)
+                log(f"simulate_{name}_simple_rays_per_s", round(n / t))
+                # (first_wave, shrink): None/4 is the shipped schedule;
+                # short first waves need shrink 2 (fewer lanes die before
+                # the first compaction; exit_frac catches any silent loss)
+                for fw, sh in ((None, 4), (8, 2), (16, 2), (32, 2)):
+                    trace_mod.RIM_CONT_FIRST_WAVE = fw
+                    trace_mod.RIM_CONT_SHRINK = sh
+
+                    def run(k, s=sc):
+                        r = trace_rays_fast(k, s, src, n, cfgsim)
+                        return r.exited_port_mask(s.exit_port_z).sum()
+
+                    g = jax.jit(run)
+                    nx = _readback(g(jax.random.key(3)))  # compile + warm
+                    t = timeit(g, jax.random.key(3), repeats=2)
+                    tag = f"simulate_{name}_rim_fw{fw}_sh{sh}"
+                    log(f"{tag}_rays_per_s", round(n / t))
+                    log(f"{tag}_exit_frac", round(nx / n, 5))
+        finally:
+            (trace_mod.RIM_CONT_FIRST_WAVE, trace_mod.RIM_CONT_SHRINK,
+             trace_mod.RIM_CONT_WAVE_ITERS) = defaults
 
     # ---- 3. direct sampler: XLA cost analysis + measured rate -------------
     sc_dir = SCENE_OPTIMIZE.with_(exact_rim=False)

@@ -52,6 +52,53 @@ class TestWaves:
         cos = (seg[ok] * d[ok]).sum(1) / ln[ok]
         assert cos.min() > 1 - 1e-4
 
+    def test_short_first_wave_equivalent(self):
+        # first_wave_iters compacts a LOW-OCCUPANCY entry state early (the
+        # rim-continuation schedule knob: its clip buffer enters ~1/2.8
+        # occupied).  Synthetic from-state batch with 30% live lanes:
+        # physics must stay distribution-equal to the default schedule and
+        # nothing may be lost as overflow with shrink sized for the early
+        # compaction (0.3 * N alive << N/2 capacity).
+        import jax.numpy as jnp
+
+        from altair_tpu.core.trace import ABSORBED, RUNNING
+        from altair_tpu.core.trace_waves import trace_waves_from_state
+        from altair_tpu.core.geometry import Vec3
+
+        shape = (N,)
+        src = SOURCE_OVERNIGHT
+        pos = Vec3(*(jnp.full(shape, v, jnp.float32)
+                     for v in (src.x, src.y, src.z)))
+        d = Vec3(*(jnp.full(shape, v, jnp.float32)
+                   for v in (src.dir_x, src.dir_y, src.dir_z))).normalized()
+        live = (jnp.arange(N) % 10) < 3
+        status = jnp.where(live, RUNNING, ABSORBED).astype(jnp.int32)
+        state = (pos, d, pos, status, jnp.zeros(shape, jnp.int32),
+                 jnp.zeros(shape, bool))
+
+        def run(first, shrink):
+            return jax.jit(lambda k: trace_waves_from_state(
+                k, SCENE, state, wave_iters=96, shrink=shrink,
+                min_wave=4096, first_wave_iters=first))(jax.random.key(3))
+
+        res_a, ovf_a = run(None, 4)
+        res_b, ovf_b = run(8, 2)
+        assert int(ovf_a) == 0 and int(ovf_b) == 0
+        m = np.asarray(live)
+        n_live = int(m.sum())
+        for res in (res_a, res_b):
+            st = np.asarray(res.status)[m]
+            assert ((st == 1) | (st == 2)).all()
+        def frac(res):
+            st = np.asarray(res.status)[m]
+            z = np.asarray(res.last_point.z)[m]
+            return ((st == 1) & (z < -100)).mean()
+        sigma = np.sqrt(0.427 * 0.573 / n_live) * np.sqrt(2)
+        assert abs(frac(res_a) - frac(res_b)) < 4 * sigma
+        ba = float(np.asarray(res_a.n_bounces)[m].mean())
+        bb = float(np.asarray(res_b.n_bounces)[m].mean())
+        assert abs(ba - bb) < 2.5, (ba, bb)
+
     def test_matches_plain_kernel_distribution(self, wave_result):
         res, _ = wave_result
         plain = trace_rays(jax.random.key(9), SCENE, SOURCE_OVERNIGHT, N)
