@@ -65,6 +65,21 @@ def main():
                          "(kernel vs rim post-pass) and sweep the rim "
                          "continuation's wave schedule "
                          "(8 extra programs = 8 remote compiles)")
+    ap.add_argument("--band-feasibility", action="store_true",
+                    help="measure the inputs that decide the banded "
+                         "(HIGH + error band + HIGHEST row rescore) "
+                         "binomial scorer: per-pass matmul costs, grouped-"
+                         "nonzero cost per chunk, and the band's flagged-"
+                         "row occupancy at production scale "
+                         "(5 extra programs)")
+    ap.add_argument("--band-m", type=int, default=128 * 50_000,
+                    help="shared-sample size for --band-feasibility (the "
+                         "binomial engine's production M; shrink for a "
+                         "CPU smoke test)")
+    ap.add_argument("--skip-base", action="store_true",
+                    help="skip sections 1-3 (slot rate / duty cycle / "
+                         "direct sampler) so an opted-in section can run "
+                         "alone without recompiling the heavy kernels")
     args = ap.parse_args()
 
     import jax
@@ -85,37 +100,40 @@ def main():
     K = args.slot_bounces
     assert K % INNER_ITERS == 0, "partial INNER_ITERS block would blur count"
 
-    # ---- 1. slot rate: no early exit => slot-iterations == n * K ----------
-    # port ~closed (cap fraction ~8e-9 => ~8 escapes per 1e9 wall hits,
-    # <1e-6 relative slot-count error) + reflectance 1 => every ray
-    # suspends at exactly K iterations, lanes in lockstep.
-    sc_slot = SCENE_OPTIMIZE.with_(reflectance=1.0, theta_max_deg=179.99,
-                                   max_bounces=K, exact_rim=False)
-    for budget in (1, 2, 4, 8):
-        n = (args.n // (BLOCK * budget)) * (BLOCK * budget)
-        f = jax.jit(lambda k, b=budget, nn=n: trace_rays_refill(
-            k, sc_slot, src, nn, TraceConfig(), rays_per_lane=b)
-            .status.sum())
-        t = timeit(f, jax.random.key(0), repeats=2)
-        rate = n * K / t
-        log(f"slot_bounces_per_s_budget{budget}", round(rate))
-    slot_rate = out["slot_bounces_per_s_budget4"]  # the shipped budget
-
-    # ---- 2. production duty cycle (shipped budget=4, simple mode) ---------
     sc_prod = SCENE_OPTIMIZE.with_(max_bounces=4096, exact_rim=False)
-    n = (args.n // (BLOCK * 4)) * (BLOCK * 4)
-    res_fn = jax.jit(lambda k: trace_rays_refill(
-        k, sc_prod, src, n, TraceConfig(), rays_per_lane=4))
-    res = res_fn(jax.random.key(1))
-    mean_b = float(res.n_bounces.mean())
-    f = jax.jit(lambda k: res_fn(k).status.sum())
-    t = timeit(f, jax.random.key(1), repeats=2)
-    rays_s = n / t
-    useful = rays_s * mean_b
-    log("refill_prod_rays_per_s", round(rays_s))
-    log("refill_prod_mean_bounces", round(mean_b, 2))
-    log("refill_useful_bounces_per_s", round(useful))
-    log("refill_duty_pct", round(100 * useful / slot_rate, 1))
+
+    if not args.skip_base:
+        # ---- 1. slot rate: no early exit => slot-iterations == n * K ------
+        # port ~closed (cap fraction ~8e-9 => ~8 escapes per 1e9 wall hits,
+        # <1e-6 relative slot-count error) + reflectance 1 => every ray
+        # suspends at exactly K iterations, lanes in lockstep.
+        sc_slot = SCENE_OPTIMIZE.with_(reflectance=1.0,
+                                       theta_max_deg=179.99,
+                                       max_bounces=K, exact_rim=False)
+        for budget in (1, 2, 4, 8):
+            n = (args.n // (BLOCK * budget)) * (BLOCK * budget)
+            f = jax.jit(lambda k, b=budget, nn=n: trace_rays_refill(
+                k, sc_slot, src, nn, TraceConfig(), rays_per_lane=b)
+                .status.sum())
+            t = timeit(f, jax.random.key(0), repeats=2)
+            rate = n * K / t
+            log(f"slot_bounces_per_s_budget{budget}", round(rate))
+        slot_rate = out["slot_bounces_per_s_budget4"]  # the shipped budget
+
+        # ---- 2. production duty cycle (shipped budget=4, simple mode) -----
+        n = (args.n // (BLOCK * 4)) * (BLOCK * 4)
+        res_fn = jax.jit(lambda k: trace_rays_refill(
+            k, sc_prod, src, n, TraceConfig(), rays_per_lane=4))
+        res = res_fn(jax.random.key(1))
+        mean_b = float(res.n_bounces.mean())
+        f = jax.jit(lambda k: res_fn(k).status.sum())
+        t = timeit(f, jax.random.key(1), repeats=2)
+        rays_s = n / t
+        useful = rays_s * mean_b
+        log("refill_prod_rays_per_s", round(rays_s))
+        log("refill_prod_mean_bounces", round(mean_b, 2))
+        log("refill_useful_bounces_per_s", round(useful))
+        log("refill_duty_pct", round(100 * useful / slot_rate, 1))
 
     # ---- 2b. tail-handoff sweep: straggler fraction x budget --------------
     # the handoff trades idle-tail kernel iterations for one compaction +
@@ -183,9 +201,96 @@ def main():
             (trace_mod.RIM_CONT_FIRST_WAVE, trace_mod.RIM_CONT_SHRINK,
              trace_mod.RIM_CONT_WAVE_ITERS) = defaults
 
+    # ---- 2d. banded-scorer feasibility (VERDICT r3 #7) ---------------------
+    # The candidate binomial-scoring scheme: s at HIGH (3 passes) + an
+    # all-positive error-band matmul at DEFAULT (1 pass) + HIGHEST rescore
+    # of only the flagged rows per 256-position chunk, exploiting the
+    # measured bitwise row reproducibility.  Whether it beats all-HIGHEST
+    # (6 passes) hinges on three numbers this section measures on real
+    # production-scale data: the per-chunk pass costs, the grouped-nonzero
+    # row-compaction cost per chunk, and the flagged-row occupancy.
+    if args.band_feasibility:
+        from altair_tpu import DetectorGrid
+        from altair_tpu.core.compact import (nonzero_indices,
+                                             nonzero_indices_grouped)
+        from altair_tpu.core.score import (_plucker_features,
+                                           _plucker_weights, exit_capacity,
+                                           grid_centers_normals)
+        from altair_tpu.core.trace_waves import trace_rays_auto
+
+        M = args.band_m               # the binomial engine's shared sample
+        sc_b = SCENE_OPTIMIZE.with_(max_bounces=4096)
+        cap = exit_capacity(sc_b, M)
+        grid = DetectorGrid()
+
+        @jax.jit
+        def exit_features(k):         # real compacted exit segments
+            res = trace_rays_auto(k, sc_b, src, M, TraceConfig())
+            mask = res.exited_port_mask(sc_b.exit_port_z)
+            idx = nonzero_indices(mask, cap, M)
+            valid = idx < M
+            take = jnp.minimum(idx, M - 1)
+            E = res.last_point.stack()[take]
+            D = res.direction.stack()[take]
+            anchor = jnp.array([0.0, 0.0, sc_b.exit_port_z], jnp.float32)
+            return _plucker_features(E - anchor[None, :], D), valid
+
+        Phi, valid = exit_features(jax.random.key(7))
+        jax.block_until_ready(valid)
+        anchor = jnp.array([0.0, 0.0, sc_b.exit_port_z], jnp.float32)
+        C, Nrm = grid_centers_normals(grid, sc_b.exit_port_z)
+        Wa = _plucker_weights(C - anchor[None, :], Nrm, grid.width / 2.0)
+        chunk = 256
+        log("band_n_rows", cap)
+
+        HI = jax.lax.Precision.HIGHEST
+        HIGH = jax.lax.Precision.HIGH
+        DEF = jax.lax.Precision.DEFAULT
+
+        def s_at(prec):
+            return jax.jit(lambda P_, W_: jax.lax.dot_general(
+                P_, W_, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec).sum())
+
+        W0 = Wa[:chunk]
+        for nm, prec in (("highest", HI), ("high", HIGH), ("default", DEF)):
+            t = timeit(s_at(prec), Phi, W0, repeats=3)
+            log(f"band_s_{nm}_chunk_s", round(t, 5))
+        t = timeit(s_at(DEF), jnp.abs(Phi), jnp.abs(W0), repeats=3)
+        log("band_env_chunk_s", round(t, 5))
+
+        # grouped row compaction at the scheme's per-chunk capacity
+        row_cap = max(256, -(-(cap // 16) // 8) * 8)
+        flag_dummy = ((jnp.arange(cap) % 29) == 0) & valid  # ~3.4% sparse
+        gz = jax.jit(lambda f: nonzero_indices_grouped(
+            f, row_cap, cap, group_capacity=row_cap)[0].sum())
+        t = timeit(gz, flag_dummy, repeats=3)
+        log("band_grouped_nonzero_s", round(t, 5))
+        log("band_row_cap", row_cap)
+
+        # flagged-row occupancy on the REAL workload: |s_HIGH| <= tau * env
+        @jax.jit
+        def occupancy(P_, W_, tau):
+            s = jax.lax.dot_general(P_, W_, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32,
+                                    precision=HIGH)
+            env = jax.lax.dot_general(jnp.abs(P_), jnp.abs(W_),
+                                      (((1,), (1,)), ((), ())),
+                                      preferred_element_type=jnp.float32,
+                                      precision=DEF)
+            flag = ((jnp.abs(s) <= tau * env).any(axis=1)) & valid
+            return flag.sum() / valid.sum()
+
+        n_chunks = Wa.shape[0] // chunk
+        for ci in (0, n_chunks // 2, n_chunks - 1):
+            Wc = Wa[ci * chunk:(ci + 1) * chunk]
+            for tau in (1e-4, 2e-4, 5e-4):
+                v = float(occupancy(Phi, Wc, tau))
+                log(f"band_rowflag_chunk{ci}_tau{tau:g}", round(v, 4))
+
     # ---- 3. direct sampler: XLA cost analysis + measured rate -------------
     sc_dir = SCENE_OPTIMIZE.with_(exact_rim=False)
-    for label, cfg in (
+    for label, cfg in () if args.skip_base else (
             ("threefry", TraceConfig()),
             ("rbg", TraceConfig(rng_impl="rbg")),
             ("qmc", TraceConfig(qmc=1))):
