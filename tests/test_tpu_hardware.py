@@ -127,6 +127,71 @@ class TestOnChipExitDistribution:
             assert abs(b - b_x.mean()) < 5 * se, (b, b_x.mean())
 
 
+class TestOnChipScoring:
+    """Scoring numerics on the real chip.  TPU matmuls truncate f32
+    inputs to bf16 by DEFAULT precision; the Plucker scorers are
+    cancellation-sensitive, so a precision regression is invisible to the
+    CPU suite (CPU f32 matmuls are exact) and historically surfaced as
+    +40%-per-row spurious hits / a 12x-inflated map tail (benchmarks/
+    RESULTS.md 'Scoring precision').  These pins catch that class on
+    hardware, including any change to the anchored-frame feature path."""
+
+    N_SCORE = 262_144
+
+    @pytest.fixture(scope="class")
+    def scored(self):
+        from altair_tpu import DetectorGrid
+        from altair_tpu.core.score import fluxmap_trace_once
+        from altair_tpu.core.trace_waves import trace_rays_auto
+
+        scene = SCENE_OPTIMIZE.with_(max_bounces=4096)
+        grid = DetectorGrid()
+        n = self.N_SCORE
+
+        @jax.jit
+        def maps(k):
+            res = trace_rays_auto(k, scene, SOURCE_OVERNIGHT, n,
+                                  TraceConfig())
+            cm = fluxmap_trace_once(res, grid, scene.exit_port_z,
+                                    method="mxu")
+            ce = fluxmap_trace_once(res, grid, scene.exit_port_z,
+                                    method="exact")
+            return cm, ce
+
+        cm, ce = jax.block_until_ready(maps(jax.random.key(11)))
+        return np.asarray(cm, np.int64), np.asarray(ce, np.int64)
+
+    def test_mxu_equals_exact_per_cell(self, scored):
+        cm, ce = scored
+        # residual budget from the r2/r3 validation: genuine fp32 disk-edge
+        # rounding only — max 10 counts per cell, total within 2e-5 of hits
+        assert np.abs(cm - ce).max() <= 10, np.abs(cm - ce).max()
+        assert abs(int(cm.sum()) - int(ce.sum())) <= max(
+            10, 2e-5 * ce.sum()), (cm.sum(), ce.sum())
+
+    def test_binomial_engine_tracks_traceonce(self, scored):
+        """Cross-METHOD total agreement (the check that caught the bf16
+        corruption: per-method map totals diverged).  The binomial
+        engine's expected cell mean is n_per_pos * pi_p; its map total
+        must track the trace-once estimate of n * sum_p pi_p."""
+        from altair_tpu import DetectorGrid
+        from altair_tpu.core.score import fluxmap_retrace_binomial
+
+        cm, _ = scored
+        scene = SCENE_OPTIMIZE.with_(max_bounces=4096)
+        n_per, over = 2000, 32
+        cb = jax.block_until_ready(jax.jit(
+            lambda k: fluxmap_retrace_binomial(
+                k, scene, SOURCE_OVERNIGHT, DetectorGrid(), n_per,
+                TraceConfig(), oversample=over))(jax.random.key(12)))
+        total_b = int(np.asarray(cb, np.int64).sum())
+        expect = n_per * int(cm.sum()) / self.N_SCORE
+        # MC bands: shared-sample correlation across cells dominates
+        # (sd ~ n * sd(hits/ray)/sqrt(M) ~ 45 at these sizes); 12%
+        # relative is ~5 sigma yet far below the 40%-class corruption
+        assert abs(total_b - expect) <= 0.12 * expect, (total_b, expect)
+
+
 class TestOnChipDispatch:
     def test_full_dispatch_exact_rim_band(self):
         """trace_rays_fast (Pallas + deferred rim) under engine='simulate'
