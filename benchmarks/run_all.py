@@ -199,6 +199,15 @@ def main():
                 .status.sum())
     t = timeit(f, jax.random.key(2), repeats=2)
     log("throughput_simulate_rays_s", n_big / t)
+    # the non-Lambertian PRODUCTION path (nonLambertianFlux.C:307-387):
+    # MIXED_BRDF walls route through the same Pallas refill kernel + rim
+    # post-pass but with the 7-draw BRDF scatter in-kernel
+    from altair_tpu.config import SurfaceModel
+    sc_brdf = scene.with_(surface_model=SurfaceModel.MIXED_BRDF)
+    f = jax.jit(lambda k: trace_rays_auto(k, sc_brdf, src, n_big, cfg)
+                .status.sum())
+    t = timeit(f, jax.random.key(2), repeats=2)
+    log("throughput_brdf_rays_s", n_big / t)
 
     # -- roofline / MFU accounting ------------------------------------------
     roofline(scene, src, cfg, log, timeit)
