@@ -189,6 +189,13 @@ def main():
     f = jax.jit(lambda r: fluxmap_trace_once(r, grid).sum())
     log("scoring_phase_s", timeit(f, res))
 
+    # -- compact-scoring variant (gathers the ~43k exits first; the scorer
+    # the production trace-once driver actually dispatches) -----------------
+    from altair_tpu.core.score import exit_capacity, fluxmap_trace_once_compact
+    cap = exit_capacity(scene, 100_000)
+    f = jax.jit(lambda r: fluxmap_trace_once_compact(r, grid, cap)[0].sum())
+    log("scoring_phase_compact_s", timeit(f, res))
+
     # -- throughput (large batch; 16M amortises the ~30 ms transport
     # dispatch floor that dominates smaller calls) --------------------------
     n_big = 16_000_000
