@@ -95,6 +95,9 @@ def main():
     def log(k, v):
         out[k] = v
         print(f"[{k}] {v}", flush=True)
+        if args.json:  # incremental: a timeout mid-sweep keeps prior rows
+            with open(args.json, "w") as fh:
+                json.dump(out, fh, indent=2)
 
     src = SOURCE_OVERNIGHT
     K = args.slot_bounces

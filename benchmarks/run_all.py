@@ -160,6 +160,9 @@ def main():
     def log(k, v):
         out[k] = v
         print(f"[{k}] {v}", flush=True)
+        if args.json:  # incremental: a timeout mid-run keeps prior rows
+            with open(args.json, "w") as fh:
+                json.dump(out, fh, indent=2)
 
     # -- trace-once total (the bench.py headline; production engine) -------
     f = jax.jit(lambda k: fluxmap_trace_once(
