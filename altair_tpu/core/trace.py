@@ -677,13 +677,19 @@ def trace_rays_rim_deferred(
         # keeps >=1.6x headroom even for worst-case (small-port) survival.
         from .trace_waves import trace_waves_from_state
 
-        res_c, _ = trace_waves_from_state(
+        res_c, cont_ovf = trace_waves_from_state(
             k_cont, scene, carry, cfg,
             wave_iters=RIM_CONT_WAVE_ITERS, shrink=RIM_CONT_SHRINK,
             min_wave=16384, first_wave_iters=RIM_CONT_FIRST_WAVE)
         pos, direction, prev = (res_c.last_point, res_c.direction,
                                 res_c.seg_start)
         status, bounces = res_c.status, res_c.n_bounces
+        # an undersized tuned schedule (RIM_CONT_FIRST_WAVE/RIM_CONT_SHRINK)
+        # suspends live clipped lanes at a compaction; fold that loss into
+        # RimOverflow.total so the existing int(ovf)==0 checks catch it
+        # deterministically instead of as a silent exit-fraction bias
+        # (ADVICE r4, medium)
+        n_overflow = n_overflow + cont_ovf
     else:
         step = make_bounce_step(k_cont, scene, m, cfg)
         block = max(1, min(int(cfg.block_iters), max_iters))

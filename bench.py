@@ -22,7 +22,7 @@ import sys
 import time
 
 
-def _await_backend(window_s: float, probe_timeout_s: float) -> None:
+def _await_backend(window_s: float, probe_timeout_s: float) -> str:
     """Fail fast (and retry within a bounded window) if the device backend
     cannot initialize, instead of hanging or dying with a raw traceback.
 
@@ -31,9 +31,16 @@ def _await_backend(window_s: float, probe_timeout_s: float) -> None:
     subprocess (so a hung init cannot wedge this process), retry with
     backoff until ``window_s`` is exhausted, then print ONE machine-readable
     JSON diagnostic line and exit 1.  VERDICT r3 weak-#1.
+
+    A down tunnel can also make JAX silently FALL BACK to the CPU backend —
+    a "successful" probe that would benchmark CPU against the TPU baseline.
+    So a probe that reports platform ``cpu`` counts as backend-down unless
+    the caller explicitly pinned ``JAX_PLATFORMS=cpu`` (ADVICE r4).
+    Returns the probed platform string for the emitted JSON row.
     """
     probe = ("import jax; d = jax.devices()[0]; "
              "print(d.platform, d.device_kind)")
+    cpu_ok = "cpu" in os.environ.get("JAX_PLATFORMS", "").lower()
     deadline = time.monotonic() + window_s
     delay = 15.0
     attempt = 0
@@ -45,11 +52,18 @@ def _await_backend(window_s: float, probe_timeout_s: float) -> None:
                 [sys.executable, "-c", probe], capture_output=True,
                 text=True, timeout=probe_timeout_s)
             if r.returncode == 0:
-                if attempt > 1:
-                    sys.stderr.write(
-                        f"# backend up after {attempt} probes\n")
-                return
-            last = (r.stderr.strip().splitlines() or ["?"])[-1][:300]
+                platform = (r.stdout.split() or ["?"])[0]
+                if platform == "cpu" and not cpu_ok:
+                    last = ("probe fell back to the CPU backend "
+                            "(tunnel down?); refusing to benchmark CPU "
+                            "against the TPU baseline")
+                else:
+                    if attempt > 1:
+                        sys.stderr.write(
+                            f"# backend up after {attempt} probes\n")
+                    return platform
+            else:
+                last = (r.stderr.strip().splitlines() or ["?"])[-1][:300]
         except subprocess.TimeoutExpired:
             last = f"probe timed out after {probe_timeout_s:.0f}s"
         remaining = deadline - time.monotonic()
@@ -217,11 +231,14 @@ def main():
         f"exit_frac={exit_frac_a:.4f}\n")
 
     baseline_best_s = 210.5  # reference trace-once best total, BASELINE.md
+    dev = jax.devices()[0]
     print(json.dumps({
         "metric": "fluxmap_traceonce_100k_180x90_wall",
         "value": round(wall, 6),
         "unit": "seconds",
         "vs_baseline": round(baseline_best_s / wall, 2),
+        "platform": dev.platform,
+        "device_kind": dev.device_kind,
         "mode": "exact_rim",
         "engine": "direct",
         "amortized_per_map_value": round(wall_amort, 6),

@@ -27,10 +27,21 @@ Usage:  python benchmarks/roofline_kernels.py [--json OUT.json] [--n 16777216]
 
 import argparse
 import json
+import os
 import time
 
 # v5e peaks — keep in sync with run_all.py
 V5E_PEAK = {"vpu_fp32_flops": 3.9e12, "hbm_bytes_s": 819e9}
+
+
+def atomic_json_dump(path, obj):
+    """Temp file + os.replace: a timeout/SIGKILL mid-dump can never
+    truncate rows already persisted (ADVICE r4; same helper as
+    run_all.py)."""
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "w") as fh:
+        json.dump(obj, fh, indent=2)
+    os.replace(tmp, path)
 
 
 def _readback(x):
@@ -96,8 +107,7 @@ def main():
         out[k] = v
         print(f"[{k}] {v}", flush=True)
         if args.json:  # incremental: a timeout mid-sweep keeps prior rows
-            with open(args.json, "w") as fh:
-                json.dump(out, fh, indent=2)
+            atomic_json_dump(args.json, out)
 
     src = SOURCE_OVERNIGHT
     K = args.slot_bounces
@@ -200,6 +210,9 @@ def main():
                     tag = f"simulate_{name}_rim_fw{fw}_sh{sh}"
                     log(f"{tag}_rays_per_s", round(n / t))
                     log(f"{tag}_exit_frac", round(nx / n, 5))
+                    # exact count so the tuner's drift check compares
+                    # unrounded fractions (ADVICE r4)
+                    log(f"{tag}_n_exit", int(nx))
         finally:
             (trace_mod.RIM_CONT_FIRST_WAVE, trace_mod.RIM_CONT_SHRINK,
              trace_mod.RIM_CONT_WAVE_ITERS) = defaults
@@ -318,8 +331,7 @@ def main():
             round(100 * rate * bytes_ray / V5E_PEAK["hbm_bytes_s"], 1))
 
     if args.json:
-        with open(args.json, "w") as fh:
-            json.dump(out, fh, indent=2)
+        atomic_json_dump(args.json, out)
         print(f"wrote {args.json}")
 
 

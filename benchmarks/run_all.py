@@ -16,7 +16,18 @@ Workloads:
 
 import argparse
 import json
+import os
 import time
+
+
+def atomic_json_dump(path, obj):
+    """Write JSON via a same-directory temp file + os.replace so a timeout
+    or SIGKILL landing mid-dump can never truncate rows already persisted
+    (the exact scenario incremental persistence exists for — ADVICE r4)."""
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "w") as fh:
+        json.dump(obj, fh, indent=2)
+    os.replace(tmp, path)
 
 REF = {
     "traceonce_total_s": 210.5,
@@ -161,8 +172,7 @@ def main():
         out[k] = v
         print(f"[{k}] {v}", flush=True)
         if args.json:  # incremental: a timeout mid-run keeps prior rows
-            with open(args.json, "w") as fh:
-                json.dump(out, fh, indent=2)
+            atomic_json_dump(args.json, out)
 
     # -- trace-once total (the bench.py headline; production engine) -------
     f = jax.jit(lambda k: fluxmap_trace_once(
@@ -291,8 +301,7 @@ def main():
               f"(corpus {v['corpus']:.3f})")
 
     if args.json:
-        with open(args.json, "w") as fh:
-            json.dump(out, fh, indent=2)
+        atomic_json_dump(args.json, out)
         print(f"\nwrote {args.json}")
 
 

@@ -109,7 +109,19 @@ def launch(n_processes: int, n_rays: int, attempts: int = 2) -> int:
             env=env) for i in range(n_processes)]
         rc = 0
         for p in procs:
-            rc |= p.wait(timeout=600)
+            # a hung worker must fail THIS attempt (and free the 1-core
+            # box for the retry), not abort the launcher with a raw
+            # traceback while its siblings keep running (ADVICE r4)
+            try:
+                rc |= p.wait(timeout=600)
+            except subprocess.TimeoutExpired:
+                rc |= 1
+        if rc != 0:
+            for p in procs:
+                if p.poll() is None:
+                    p.kill()
+            for p in procs:
+                p.wait()
         if rc == 0:
             return 0
         print(f"[launch] attempt {attempt + 1}/{attempts} failed rc={rc}"

@@ -24,10 +24,20 @@ import sys
 
 
 def load(paths):
+    """Merge the JSONs (last wins) but take ``n_rays`` for the drift check
+    from the file that actually CONTAINS the simulate-split rows — the
+    sweep may have run with a different --n than the other artifacts
+    (ADVICE r4)."""
     out = {}
+    sim_n = None
     for p in paths:
         with open(p) as fh:
-            out.update(json.load(fh))
+            d = json.load(fh)
+        if any(k.startswith("simulate_") for k in d):
+            sim_n = d.get("n_rays", sim_n)
+        out.update(d)
+    if sim_n is not None:
+        out["n_rays"] = sim_n
     return out
 
 
@@ -76,18 +86,29 @@ def main(paths):
                 rows[(fw, int(m.group(2)))] = v
         if not rows:
             continue
-        fr = {kk: d.get(f"simulate_{scene}_rim_fw"
-                        f"{'None' if kk[0] is None else kk[0]}_sh{kk[1]}"
-                        f"_exit_frac") for kk in rows}
+        def frac(kk):
+            tag = (f"simulate_{scene}_rim_fw"
+                   f"{'None' if kk[0] is None else kk[0]}_sh{kk[1]}")
+            # prefer the exact exit count (unrounded fraction); fall back
+            # to the rounded exit_frac for pre-r5 artifacts (ADVICE r4)
+            nx = d.get(f"{tag}_n_exit")
+            return nx / n if nx is not None else d.get(f"{tag}_exit_frac")
+
+        fr = {kk: frac(kk) for kk in rows}
         print(f"simulate[{scene}]: simple {simple} rays/s; exact-rim:")
         ref_frac = fr.get((None, 4))
+        if ref_frac is None:
+            print("  (no reference row (None, 4) in the sweep — "
+                  "drift check skipped)")
         for kk in sorted(rows, key=rows.get, reverse=True):
-            drift = (None if ref_frac is None or fr[kk] is None
-                     else abs(fr[kk] - ref_frac))
-            ok = drift is not None and drift < 4 * (0.425 * 0.575 / n) ** 0.5
+            if ref_frac is None or fr[kk] is None:
+                verdict = "no reference row"
+            else:
+                drift = abs(fr[kk] - ref_frac)
+                ok = drift < 4 * (0.425 * 0.575 / n) ** 0.5
+                verdict = "OK" if ok else "DRIFT — check ray loss"
             print(f"  fw={kk[0]} shrink={kk[1]}: {rows[kk]} rays/s "
-                  f"exit_frac={fr[kk]} "
-                  f"{'OK' if ok else 'DRIFT — check ray loss'}")
+                  f"exit_frac={fr[kk]} {verdict}")
         base = rows.get((None, 4))
         best = max(rows, key=rows.get)
         if base and rows[best] > 1.02 * base and best != (None, 4):
