@@ -144,16 +144,28 @@ def cmd_fluxmap(args):
 
 def cmd_series(args):
     scene, source = _scene_source(args)
+    src_xs = getattr(args, "source_xs", None)
     if args.vmapped:
         import numpy as np
 
         from .sweep import run_series_vmapped
 
-        counts, exits = run_series_vmapped(
-            scene, source, port_angles=args.port_angles, n_rays=args.rays,
-            cfg=_cfg(args))
-        for p, e in zip(args.port_angles, exits):
-            print(f"port {p}: exit fraction {e / args.rays:.4f}")
+        if src_xs is not None:
+            import jax.numpy as jnp
+
+            from .sweep import stack_sources
+
+            counts, exits = run_series_vmapped(
+                scene, sources=stack_sources(source, x=jnp.asarray(src_xs)),
+                n_rays=args.rays, cfg=_cfg(args))
+            for x, e in zip(src_xs, exits):
+                print(f"srcX {x}: exit fraction {e / args.rays:.4f}")
+        else:
+            counts, exits = run_series_vmapped(
+                scene, source, port_angles=args.port_angles,
+                n_rays=args.rays, cfg=_cfg(args))
+            for p, e in zip(args.port_angles, exits):
+                print(f"port {p}: exit fraction {e / args.rays:.4f}")
         import os
 
         os.makedirs(args.out, exist_ok=True)
@@ -164,6 +176,8 @@ def cmd_series(args):
         from .sweep import run_series
 
         run_series(scene, source, port_angles=args.port_angles,
+                   sources=(None if src_xs is None else
+                            [source.with_(x=float(x)) for x in src_xs]),
                    repeats=args.repeats, n_rays=args.rays,
                    save_root=args.out, cfg=_cfg(args))
     return 0
@@ -292,6 +306,11 @@ def main(argv=None) -> int:
     _add_scene_args(p)
     p.add_argument("--port-angles", type=float, nargs="+",
                    default=[164.0])
+    p.add_argument("--source-xs", type=float, nargs="+", default=None,
+                   help="sweep the SOURCE x position instead of the port "
+                        "angle (the srcX axis of sweepSeries, "
+                        "fluxAtObserverOptimize.C:892-921); with "
+                        "--vmapped all positions run in one device call")
     p.add_argument("--repeats", type=int, default=5)
     p.add_argument("--rays", type=int, default=100_000)
     p.add_argument("--out", default=".")

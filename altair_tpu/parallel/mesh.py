@@ -372,6 +372,7 @@ def sharded_param_sweep(
     cfg: TraceConfig = TraceConfig(),
     grid: DetectorGrid | None = None,
     pos_chunk: int = 1080,
+    sources: Source | None = None,
 ):
     """Scene-parameter sweep (the ``sweepSeries`` axis, SURVEY.md §2.3.5):
     lax.map over a batch of scenes (port angle / roughness / reflectance
@@ -382,6 +383,13 @@ def sharded_param_sweep(
     per-scene flux maps: ``(fluxmaps [S, n_theta, n_phi] counts, exits
     [S])``, psum-merged over the mesh exactly like ``sharded_fluxmap``.
 
+    ``sources`` adds the SOURCE axis of ``sweepSeries`` (the srcX/Y/Z/
+    dirXBase loops, ``fluxAtObserverOptimize.C:892-921``): a batched
+    ``Source`` pytree (``sweep.series.stack_sources``) that replaces
+    ``source``.  ``scenes`` may then be a plain (unbatched) scene —
+    broadcast over the source members — or a batch of EQUAL length,
+    zipped member-for-member with the sources.
+
     The reference ran these as sequential overnight for-loops
     (``fluxAtObserverOptimize.C:892-921``); here the parameter axis is just
     one more batch dimension.
@@ -390,6 +398,31 @@ def sharded_param_sweep(
     if n_rays_per_scene % n_dev:
         raise ValueError("n_rays_per_scene must divide over devices")
     n_local = n_rays_per_scene // n_dev
+
+    if sources is not None:
+        from ..config import validate
+        from ..sweep.series import source_members
+
+        # same fail-fast as the sequential drivers; with a batched scene
+        # the scene-side checks no-op (non-concrete) and only the source
+        # members are validated
+        for s in source_members(sources):
+            validate(scenes, s)
+        n_src = jnp.asarray(sources.x).shape[0]
+        if jnp.ndim(scenes.theta_max_deg) == 0:
+            # plain scene: broadcast over the source axis (stack_scenes
+            # fills every non-meta field to shape [n_src])
+            from ..sweep.series import stack_scenes
+
+            scenes = stack_scenes(scenes, theta_max_deg=jnp.full(
+                (n_src,), float(scenes.theta_max_deg), jnp.float32))
+        elif jax.tree.leaves(scenes)[0].shape[0] != n_src:
+            raise ValueError(
+                f"scenes batch ({jax.tree.leaves(scenes)[0].shape[0]}) and "
+                f"sources batch ({n_src}) must have equal length — the "
+                "series zips them member-for-member")
+        source = sources
+
     # the scene batch is traced inside the kernel, but the CONCRETE member
     # values are known right here — so the static engine facts (surface
     # model, worst-member rim capacity) are planned before batching,
@@ -408,8 +441,9 @@ def sharded_param_sweep(
     def run(key, scenes, src):
         k = _per_shard_key(key, RAY_AXIS)
 
-        def one_scene(i, scene):
-            res = tracer(jax.random.fold_in(k, i), scene, src, n_local, cfg)
+        def one_scene(i, scene, src_i):
+            res = tracer(jax.random.fold_in(k, i), scene, src_i, n_local,
+                         cfg)
             n_exit = jnp.sum(res.exited_port_mask(scene.exit_port_z),
                              dtype=jnp.int32)
             if grid is None:
@@ -419,9 +453,14 @@ def sharded_param_sweep(
             return counts, n_exit
 
         n_scenes = jax.tree.leaves(scenes)[0].shape[0]
-        out = jax.lax.map(
-            lambda args: one_scene(args[0], args[1]),
-            (jnp.arange(n_scenes), scenes))
+        if sources is None:
+            out = jax.lax.map(
+                lambda args: one_scene(args[0], args[1], src),
+                (jnp.arange(n_scenes), scenes))
+        else:
+            out = jax.lax.map(
+                lambda args: one_scene(args[0], args[1], args[2]),
+                (jnp.arange(n_scenes), scenes, src))
         return jax.tree.map(lambda x: jax.lax.psum(x, RAY_AXIS), out)
 
     # stacked scenes carry array leaves (unhashable), so this program is

@@ -25,5 +25,7 @@ from .series import (  # noqa: F401
     run_series,
     run_series_vmapped,
     series_folder,
+    source_members,
     stack_scenes,
+    stack_sources,
 )

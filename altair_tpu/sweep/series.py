@@ -40,6 +40,7 @@ def run_series(
     source: Source,
     *,
     port_angles: Sequence[float] = (164.0,),
+    sources: Sequence[Source] | None = None,
     repeats: int = 5,
     n_rays: int = 100_000,
     grid: DetectorGrid = DetectorGrid(),
@@ -51,22 +52,58 @@ def run_series(
 ) -> list[SweepResult]:
     """Sequential series of trace-once sweeps — one CSV per run, repeats
     accumulate with ``_1``, ``_2``, ... suffixes in the same folder exactly
-    like the reference's repeat runs."""
+    like the reference's repeat runs.  ``sources`` adds the source axis of
+    ``sweepSeries`` (``fluxAtObserverOptimize.C:892-921``: the srcX loop):
+    each member runs every ``port_angles`` x ``repeats`` combination, and
+    the folder name carries its coordinates (``series_folder``) exactly
+    like the reference's per-position directories."""
     out = []
     s = seed
-    for port in port_angles:
-        scene = base_scene.with_(theta_max_deg=float(port))
-        folder = (os.path.join(save_root, series_folder(prefix, source, port))
-                  if save_root is not None else None)
-        for r in range(repeats):
-            res = sweep_detector_trace_once(
-                scene, source, n_rays=n_rays, grid=grid, seed=s,
-                cfg=cfg, save_folder=folder, verbose=verbose)
-            out.append(res)
-            s += 1
+    for src in (sources if sources is not None else [source]):
+        for port in port_angles:
+            scene = base_scene.with_(theta_max_deg=float(port))
+            folder = (os.path.join(save_root,
+                                   series_folder(prefix, src, port))
+                      if save_root is not None else None)
+            for r in range(repeats):
+                res = sweep_detector_trace_once(
+                    scene, src, n_rays=n_rays, grid=grid, seed=s,
+                    cfg=cfg, save_folder=folder, verbose=verbose)
+                out.append(res)
+                s += 1
     if verbose:
         print("\n***** ALL SWEEP SERIES COMPLETE *****\n")
     return out
+
+
+def stack_sources(base: Source, **param_arrays) -> Source:
+    """Build a batched source pytree: each kwarg is an array over the
+    series axis; remaining fields broadcast.  The batched counterpart of
+    ``sweepSeries``'s source parameterisation (``fluxAtObserverOptimize.C:
+    892-921`` srcX/srcY/srcZ/dirXBase loops and the commented source-
+    direction series).  E.g.
+    ``stack_sources(SOURCE_OVERNIGHT, x=jnp.arange(-80., -39., 10.))``."""
+    n = len(next(iter(param_arrays.values())))
+    fields = {}
+    for f in dataclasses.fields(base):
+        v = param_arrays.get(f.name)
+        if v is None:
+            v = jnp.full((n,), float(getattr(base, f.name)), jnp.float32)
+        else:
+            v = jnp.asarray(v, jnp.float32)
+            if v.shape != (n,):
+                raise ValueError(f"source field {f.name}: expected shape "
+                                 f"({n},), got {v.shape}")
+        fields[f.name] = v
+    return dataclasses.replace(base, **fields)
+
+
+def source_members(sources: Source):
+    """Iterate the concrete ``Source`` members of a batched source pytree."""
+    n = len(jnp.asarray(sources.x))
+    for i in range(n):
+        yield Source(*(float(jnp.asarray(getattr(sources, f.name))[i])
+                       for f in dataclasses.fields(sources)))
 
 
 def stack_scenes(base: SphereScene, **param_arrays) -> SphereScene:
@@ -156,11 +193,42 @@ def _series_program(base_scene, source, port_angles, n_rays, grid, cfg):
     return run
 
 
+@memo_program
+def _source_series_program(scene, src_members, n_rays, grid, cfg):
+    """Batched-SOURCE series: one scene, ``lax.map`` over source members
+    (``src_members``: hashable tuple of per-field tuples).  Engine planning
+    is the single concrete scene's — the source never changes engine
+    applicability (it only sets the first flight)."""
+    from ..core.score import exit_capacity, fluxmap_trace_once_compact
+
+    sources = Source(*(jnp.asarray(v, jnp.float32)
+                       for v in zip(*src_members)))
+    tracer = _series_tracer(scene, [float(scene.theta_max_deg)], cfg)
+    cap = exit_capacity(scene, n_rays)
+
+    @jax.jit
+    def run(key):
+        def one(i, src):
+            res = tracer(jax.random.fold_in(key, i), scene, src,
+                         n_rays, cfg)
+            counts, overflow = fluxmap_trace_once_compact(
+                res, grid, cap, scene.exit_port_z)
+            return (counts, res.exited_port_mask(scene.exit_port_z).sum(),
+                    overflow)
+
+        return jax.lax.map(
+            lambda args: one(args[0], args[1]),
+            (jnp.arange(len(src_members)), sources))
+
+    return run
+
+
 def run_series_vmapped(
     base_scene: SphereScene,
-    source: Source,
+    source: Source = None,
     *,
-    port_angles: Sequence[float],
+    port_angles: Sequence[float] | None = None,
+    sources: Source | None = None,
     n_rays: int = 100_000,
     grid: DetectorGrid = DetectorGrid(),
     seed: int = 0,
@@ -169,15 +237,34 @@ def run_series_vmapped(
     """All series members in one device call: ``vmap`` over the scene batch
     axis.  Returns (fluxmaps [S, n_theta, n_phi] counts, exits [S]).
 
+    The batch axis is EITHER ``port_angles`` (scene-parameter series,
+    ``source`` fixed) OR ``sources`` (a batched ``Source`` pytree from
+    ``stack_sources`` — the srcX/Y/Z/dirXBase axis of ``sweepSeries``,
+    ``fluxAtObserverOptimize.C:892-921``, scene fixed).
+
     Members dispatch to the same engines as the sequential path — the
     direct sampler (with the deferred-rim post-pass) for statically-
     Lambertian scenes — because the static applicability facts are
-    computed from the concrete ``port_angles`` list before batching
+    computed from the concrete member list before batching
     (``_series_tracer``); scoring runs on the compacted exit subset sized
     for the widest-port member."""
-    run = _series_program(base_scene, source, tuple(float(p) for p in
-                                                    port_angles),
-                          n_rays, grid, cfg)
+    if (port_angles is None) == (sources is None):
+        raise ValueError("pass exactly one of port_angles= (scene series) "
+                         "or sources= (source series)")
+    if sources is not None:
+        from ..config import validate
+
+        members = []
+        for s in source_members(sources):
+            validate(base_scene, s)  # same fail-fast as the sequential path
+            members.append(tuple(float(getattr(s, f.name))
+                                 for f in dataclasses.fields(s)))
+        run = _source_series_program(base_scene, tuple(members), n_rays,
+                                     grid, cfg)
+    else:
+        run = _series_program(base_scene, source,
+                              tuple(float(p) for p in port_angles),
+                              n_rays, grid, cfg)
     counts, exits, overflow = run(jax.random.key(seed))
     if int(np.asarray(overflow).sum()):
         raise RuntimeError("exit-compaction overflow in series scoring — "

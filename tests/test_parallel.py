@@ -142,6 +142,55 @@ class TestParamSweep:
             0.7 * 0.3 * n) * 2 + 20
 
 
+class TestSourceSweep:
+    """Source-batched sharded series (VERDICT r4 #8): the srcX/Y/Z axis of
+    sweepSeries as a mesh route."""
+
+    def test_sources_route_matches_scenes_route_exactly(self, mesh):
+        """Identical members through the two batch axes must agree
+        bit-for-bit: the scenes route with two identical ports and the
+        sources route with two identical sources run the same per-member
+        fold/tracer/score."""
+        from altair_tpu.sweep.series import stack_sources
+
+        n = 16_000
+        scenes = stack_scenes(SCENE,
+                              theta_max_deg=jnp.array([170.0, 170.0]))
+        a = sharded_param_sweep(
+            mesh, jax.random.key(3), scenes, SOURCE_OVERNIGHT, n, CFG)
+        srcs = stack_sources(SOURCE_OVERNIGHT,
+                             x=jnp.full((2,), SOURCE_OVERNIGHT.x))
+        b = sharded_param_sweep(
+            mesh, jax.random.key(3), SCENE, SOURCE_OVERNIGHT, n, CFG,
+            sources=srcs)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_source_positions_physics(self, mesh):
+        """Moving the source must not move the Lambertian exit fraction
+        (the chain law depends only on the port and reflectance)."""
+        from altair_tpu.sweep.series import stack_sources
+
+        n = 16_000
+        srcs = stack_sources(SOURCE_OVERNIGHT,
+                             x=jnp.array([-60.0, -40.0]),
+                             z=jnp.array([-60.0, -75.0]))
+        exits = np.asarray(sharded_param_sweep(
+            mesh, jax.random.key(4), SCENE, SOURCE_OVERNIGHT, n, CFG,
+            sources=srcs))
+        for e in exits:
+            assert abs(e / n - 0.425) < 0.015, exits
+
+    def test_zip_length_contract(self, mesh):
+        from altair_tpu.sweep.series import stack_sources
+
+        scenes = stack_scenes(SCENE, theta_max_deg=jnp.array([170.0]))
+        srcs = stack_sources(SOURCE_OVERNIGHT,
+                             x=jnp.array([-50.0, -40.0]))
+        with pytest.raises(ValueError, match="equal length"):
+            sharded_param_sweep(mesh, jax.random.key(0), scenes,
+                                SOURCE_OVERNIGHT, 16_000, CFG, sources=srcs)
+
+
 class TestShardedRetrace:
     def test_matches_single_device_retrace(self, mesh):
         """Multi-chip fresh-rays-per-position sweep vs the single-chip

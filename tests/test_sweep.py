@@ -227,6 +227,81 @@ class TestSeries:
         with pytest.raises(NotImplementedError):
             _series_tracer(thick, [170.0], TraceConfig(engine="direct"))
 
+    def test_source_series_vmapped(self):
+        """Source-batched series (VERDICT r4 #8 — the srcX/Y/Z axis of
+        sweepSeries, fluxAtObserverOptimize.C:892-921): one device call
+        sweeps source positions with the fixed-scene engine planning; the
+        Lambertian exit-fraction law is source-position independent, so
+        every member must land in the corpus window."""
+        import jax.numpy as jnp
+
+        from altair_tpu.sweep import stack_sources
+
+        srcs = stack_sources(SOURCE_OVERNIGHT,
+                             x=jnp.array([-60.0, -40.0, -20.0]),
+                             z=jnp.array([-75.0, -75.0, -60.0]))
+        n = 20_000
+        counts, exits = run_series_vmapped(
+            SCENE, sources=srcs, n_rays=n,
+            grid=DetectorGrid(n_theta=3, n_phi=2), seed=4)
+        assert counts.shape == (3, 3, 2)
+        expect = expected_exit_fraction(170.0, 0.99)
+        for e in exits:
+            assert abs(e / n - expect) < 0.015, (e / n, expect)
+
+    def test_source_series_validates_members(self):
+        """Batched source members get the same fail-fast validation as the
+        sequential driver (an exterior source would silently produce
+        nonsense in the trace kernel)."""
+        import jax.numpy as jnp
+
+        from altair_tpu.sweep import stack_sources
+
+        bad = stack_sources(SOURCE_OVERNIGHT, x=jnp.array([-80.0]))  # r=109.7
+        with pytest.raises(ValueError, match="outside the sphere"):
+            run_series_vmapped(SCENE, sources=bad, n_rays=100,
+                               grid=DetectorGrid(n_theta=2, n_phi=2))
+
+    def test_source_series_matches_port_route_exactly(self):
+        """A one-member source series on the identical (scene, source)
+        must reproduce the port-series program bit-for-bit: same
+        per-member key fold, same tracer planning, same compacted
+        scoring."""
+        import jax.numpy as jnp
+
+        from altair_tpu.sweep import stack_sources
+
+        grid = DetectorGrid(n_theta=3, n_phi=2)
+        n = 8_000
+        c_port, e_port = run_series_vmapped(
+            SCENE, SOURCE_OVERNIGHT, port_angles=[SCENE.theta_max_deg],
+            n_rays=n, grid=grid, seed=5)
+        srcs = stack_sources(
+            SOURCE_OVERNIGHT, x=jnp.full((1,), SOURCE_OVERNIGHT.x))
+        c_src, e_src = run_series_vmapped(
+            SCENE, sources=srcs, n_rays=n, grid=grid, seed=5)
+        np.testing.assert_array_equal(c_port, c_src)
+        np.testing.assert_array_equal(e_port, e_src)
+
+    def test_series_axis_argument_contract(self):
+        with pytest.raises(ValueError):
+            run_series_vmapped(SCENE, SOURCE_OVERNIGHT, n_rays=100)
+
+    def test_sequential_series_source_axis(self, tmp_path):
+        """run_series(sources=...) writes one reference-named folder per
+        source member (the reference's per-position directories)."""
+        srcs = [SOURCE_OVERNIGHT.with_(x=-50.0),
+                SOURCE_OVERNIGHT.with_(x=-30.0)]
+        out = run_series(
+            SCENE, SOURCE_OVERNIGHT, sources=srcs, port_angles=[164.0],
+            repeats=1, n_rays=4_000, grid=DetectorGrid(n_theta=3, n_phi=2),
+            save_root=str(tmp_path), seed=0, verbose=False)
+        assert len(out) == 2
+        for src in srcs:
+            folder = os.path.join(
+                str(tmp_path), series_folder("portAngleSweep", src, 164.0))
+            assert len(glob.glob(os.path.join(folder, "*.csv"))) == 1
+
     def test_binomial_rejects_resume_path(self, tmp_path):
         p = tmp_path / "partial.csv"
         p.write_text("theta,phi,fraction\n")
