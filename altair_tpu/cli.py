@@ -155,11 +155,20 @@ def cmd_series(args):
 
             from .sweep import stack_sources
 
-            counts, exits = run_series_vmapped(
-                scene, sources=stack_sources(source, x=jnp.asarray(src_xs)),
-                n_rays=args.rays, cfg=_cfg(args))
-            for x, e in zip(src_xs, exits):
-                print(f"srcX {x}: exit fraction {e / args.rays:.4f}")
+            # cross port_angles x source positions exactly like the
+            # sequential path (one vmapped device call per port; the
+            # source axis is the batched one)
+            per_port = []
+            for port in args.port_angles:
+                counts, exits = run_series_vmapped(
+                    scene.with_(theta_max_deg=float(port)),
+                    sources=stack_sources(source, x=jnp.asarray(src_xs)),
+                    n_rays=args.rays, cfg=_cfg(args))
+                for x, e in zip(src_xs, exits):
+                    print(f"port {port} srcX {x}: exit fraction "
+                          f"{e / args.rays:.4f}")
+                per_port.append(counts)
+            counts = np.stack(per_port)  # [n_ports, n_src, n_theta, n_phi]
         else:
             counts, exits = run_series_vmapped(
                 scene, source, port_angles=args.port_angles,

@@ -403,24 +403,30 @@ def sharded_param_sweep(
         from ..config import validate
         from ..sweep.series import source_members
 
-        # same fail-fast as the sequential drivers; with a batched scene
-        # the scene-side checks no-op (non-concrete) and only the source
-        # members are validated
-        for s in source_members(sources):
-            validate(scenes, s)
         n_src = jnp.asarray(sources.x).shape[0]
         if jnp.ndim(scenes.theta_max_deg) == 0:
-            # plain scene: broadcast over the source axis (stack_scenes
-            # fills every non-meta field to shape [n_src])
+            # plain scene: validate every source member against it, then
+            # broadcast over the source axis (stack_scenes fills every
+            # non-meta field to shape [n_src])
             from ..sweep.series import stack_scenes
 
+            for s in source_members(sources):
+                validate(scenes, s)
             scenes = stack_scenes(scenes, theta_max_deg=jnp.full(
                 (n_src,), float(scenes.theta_max_deg), jnp.float32))
-        elif jax.tree.leaves(scenes)[0].shape[0] != n_src:
-            raise ValueError(
-                f"scenes batch ({jax.tree.leaves(scenes)[0].shape[0]}) and "
-                f"sources batch ({n_src}) must have equal length — the "
-                "series zips them member-for-member")
+        else:
+            if jax.tree.leaves(scenes)[0].shape[0] != n_src:
+                raise ValueError(
+                    f"scenes batch ({jax.tree.leaves(scenes)[0].shape[0]}) "
+                    f"and sources batch ({n_src}) must have equal length — "
+                    "the series zips them member-for-member")
+            # zip path: validate each (scene, source) member PAIR with the
+            # members' concrete values — validate() on the batched pytree
+            # would silently no-op its radius check on the array
+            # inner_radius (review r5 #1)
+            for sc, s in zip(_member_scenes(scenes),
+                             source_members(sources)):
+                validate(sc, s)
         source = sources
 
     # the scene batch is traced inside the kernel, but the CONCRETE member

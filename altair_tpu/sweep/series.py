@@ -83,6 +83,10 @@ def stack_sources(base: Source, **param_arrays) -> Source:
     892-921`` srcX/srcY/srcZ/dirXBase loops and the commented source-
     direction series).  E.g.
     ``stack_sources(SOURCE_OVERNIGHT, x=jnp.arange(-80., -39., 10.))``."""
+    if not param_arrays:
+        raise ValueError("stack_sources needs at least one field array "
+                         "(e.g. x=jnp.array([...])) to set the series "
+                         "length")
     n = len(next(iter(param_arrays.values())))
     fields = {}
     for f in dataclasses.fields(base):
@@ -100,6 +104,11 @@ def stack_sources(base: Source, **param_arrays) -> Source:
 
 def source_members(sources: Source):
     """Iterate the concrete ``Source`` members of a batched source pytree."""
+    if jnp.ndim(sources.x) != 1:
+        raise TypeError(
+            "sources must be a BATCHED Source pytree (leading series axis "
+            "on every field — build one with stack_sources); got a plain "
+            "Source / scalar fields")
     n = len(jnp.asarray(sources.x))
     for i in range(n):
         yield Source(*(float(jnp.asarray(getattr(sources, f.name))[i])
@@ -194,20 +203,20 @@ def _series_program(base_scene, source, port_angles, n_rays, grid, cfg):
 
 
 @memo_program
-def _source_series_program(scene, src_members, n_rays, grid, cfg):
-    """Batched-SOURCE series: one scene, ``lax.map`` over source members
-    (``src_members``: hashable tuple of per-field tuples).  Engine planning
-    is the single concrete scene's — the source never changes engine
-    applicability (it only sets the first flight)."""
+def _source_series_program(scene, n_members, n_rays, grid, cfg):
+    """Batched-SOURCE series: one scene, ``lax.map`` over source members.
+    The member VALUES are runtime jit arguments (only the member COUNT is
+    in the memo key), so sweeping a different grid of source positions
+    re-uses the compiled program — sources never affect engine planning
+    (they only set the first flight), which is the single concrete
+    scene's."""
     from ..core.score import exit_capacity, fluxmap_trace_once_compact
 
-    sources = Source(*(jnp.asarray(v, jnp.float32)
-                       for v in zip(*src_members)))
     tracer = _series_tracer(scene, [float(scene.theta_max_deg)], cfg)
     cap = exit_capacity(scene, n_rays)
 
     @jax.jit
-    def run(key):
+    def run(key, sources):
         def one(i, src):
             res = tracer(jax.random.fold_in(key, i), scene, src,
                          n_rays, cfg)
@@ -218,7 +227,7 @@ def _source_series_program(scene, src_members, n_rays, grid, cfg):
 
         return jax.lax.map(
             lambda args: one(args[0], args[1]),
-            (jnp.arange(len(src_members)), sources))
+            (jnp.arange(n_members), sources))
 
     return run
 
@@ -254,18 +263,19 @@ def run_series_vmapped(
     if sources is not None:
         from ..config import validate
 
-        members = []
-        for s in source_members(sources):
+        members = list(source_members(sources))
+        for s in members:
             validate(base_scene, s)  # same fail-fast as the sequential path
-            members.append(tuple(float(getattr(s, f.name))
-                                 for f in dataclasses.fields(s)))
-        run = _source_series_program(base_scene, tuple(members), n_rays,
+        src32 = Source(*(jnp.asarray(getattr(sources, f.name), jnp.float32)
+                         for f in dataclasses.fields(sources)))
+        run = _source_series_program(base_scene, len(members), n_rays,
                                      grid, cfg)
+        counts, exits, overflow = run(jax.random.key(seed), src32)
     else:
         run = _series_program(base_scene, source,
                               tuple(float(p) for p in port_angles),
                               n_rays, grid, cfg)
-    counts, exits, overflow = run(jax.random.key(seed))
+        counts, exits, overflow = run(jax.random.key(seed))
     if int(np.asarray(overflow).sum()):
         raise RuntimeError("exit-compaction overflow in series scoring — "
                            "statistically impossible at the 6-sigma "

@@ -40,7 +40,10 @@ def _await_backend(window_s: float, probe_timeout_s: float) -> str:
     """
     probe = ("import jax; d = jax.devices()[0]; "
              "print(d.platform, d.device_kind)")
-    cpu_ok = "cpu" in os.environ.get("JAX_PLATFORMS", "").lower()
+    # only an EXPLICIT cpu pin counts — 'tpu,cpu' is a priority list whose
+    # whole point is TPU-first, so a cpu probe under it is still a silent
+    # fallback to reject (review r5 #3)
+    cpu_ok = os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu"
     deadline = time.monotonic() + window_s
     delay = 15.0
     attempt = 0

@@ -28,20 +28,14 @@ Usage:  python benchmarks/roofline_kernels.py [--json OUT.json] [--n 16777216]
 import argparse
 import json
 import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from _util import atomic_json_dump  # noqa: E402
 
 # v5e peaks — keep in sync with run_all.py
 V5E_PEAK = {"vpu_fp32_flops": 3.9e12, "hbm_bytes_s": 819e9}
-
-
-def atomic_json_dump(path, obj):
-    """Temp file + os.replace: a timeout/SIGKILL mid-dump can never
-    truncate rows already persisted (ADVICE r4; same helper as
-    run_all.py)."""
-    tmp = f"{path}.tmp.{os.getpid()}"
-    with open(tmp, "w") as fh:
-        json.dump(obj, fh, indent=2)
-    os.replace(tmp, path)
 
 
 def _readback(x):

@@ -17,17 +17,11 @@ Workloads:
 import argparse
 import json
 import os
+import sys
 import time
 
-
-def atomic_json_dump(path, obj):
-    """Write JSON via a same-directory temp file + os.replace so a timeout
-    or SIGKILL landing mid-dump can never truncate rows already persisted
-    (the exact scenario incremental persistence exists for — ADVICE r4)."""
-    tmp = f"{path}.tmp.{os.getpid()}"
-    with open(tmp, "w") as fh:
-        json.dump(obj, fh, indent=2)
-    os.replace(tmp, path)
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from _util import atomic_json_dump  # noqa: E402
 
 REF = {
     "traceonce_total_s": 210.5,

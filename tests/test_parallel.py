@@ -180,6 +180,20 @@ class TestSourceSweep:
         for e in exits:
             assert abs(e / n - 0.425) < 0.015, exits
 
+    def test_zip_path_validates_member_pairs(self, mesh):
+        """The zipped scenes+sources path must fail fast on an exterior
+        source member — validate() on the batched pytree would silently
+        skip the radius check (review r5 #1)."""
+        from altair_tpu.sweep.series import stack_sources
+
+        scenes = stack_scenes(SCENE,
+                              theta_max_deg=jnp.array([170.0, 170.0]))
+        bad = stack_sources(SOURCE_OVERNIGHT,
+                            x=jnp.array([-60.0, -80.0]))  # member 1 r=109.7
+        with pytest.raises(ValueError, match="outside the sphere"):
+            sharded_param_sweep(mesh, jax.random.key(0), scenes,
+                                SOURCE_OVERNIGHT, 16_000, CFG, sources=bad)
+
     def test_zip_length_contract(self, mesh):
         from altair_tpu.sweep.series import stack_sources
 

@@ -108,12 +108,15 @@ def launch(n_processes: int, n_rays: int, attempts: int = 2) -> int:
              "--process-id", str(i), "--rays", str(n_rays)],
             env=env) for i in range(n_processes)]
         rc = 0
+        # one SHARED deadline for the attempt: sequential per-worker
+        # timeouts would let N hung workers burn N*600 s while still
+        # loading the 1-core box (ADVICE r4 + review r5 #4)
+        import time
+
+        deadline = time.monotonic() + 600
         for p in procs:
-            # a hung worker must fail THIS attempt (and free the 1-core
-            # box for the retry), not abort the launcher with a raw
-            # traceback while its siblings keep running (ADVICE r4)
             try:
-                rc |= p.wait(timeout=600)
+                rc |= p.wait(timeout=max(1.0, deadline - time.monotonic()))
             except subprocess.TimeoutExpired:
                 rc |= 1
         if rc != 0:

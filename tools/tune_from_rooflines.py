@@ -101,8 +101,10 @@ def main(paths):
             print("  (no reference row (None, 4) in the sweep — "
                   "drift check skipped)")
         for kk in sorted(rows, key=rows.get, reverse=True):
-            if ref_frac is None or fr[kk] is None:
+            if ref_frac is None:
                 verdict = "no reference row"
+            elif fr[kk] is None:
+                verdict = "no exit data for this row"
             else:
                 drift = abs(fr[kk] - ref_frac)
                 ok = drift < 4 * (0.425 * 0.575 / n) ** 0.5
