@@ -327,8 +327,13 @@ _WAVES_CONTINUATION_MIN = 65536
 # Wave schedule of the rim continuation for scenes WITHOUT a closed-form
 # finish (non-Lambertian walls — the nonLambertianFlux.C production path).
 # The clip buffer enters at ~1/2.8 occupancy, so a short first wave +
-# early compaction trims the dead padding before the long bounce tail;
-# measured on v5e by benchmarks/roofline_kernels.py --simulate-split
+# early compaction was HYPOTHESIZED to trim dead padding before the long
+# bounce tail; the measured v5e sweep (benchmarks/roofline_r5_sim.json,
+# 16M rays, Lambertian AND MIXED_BRDF) says otherwise: every shortened
+# first wave loses 4-10% (lamb fw None/32/16/8 -> 19.55/17.54/17.75/17.70
+# M rays/s; brdf -> 12.55/11.85/11.94/12.01), exit fractions all within
+# the 4-sigma pin.  The extra compaction pass costs more than the padded
+# iterations it saves, so the shipped schedule stays (None, 4)
 # (RIM_CONT_FIRST_WAVE=None means "same as RIM_CONT_WAVE_ITERS").
 RIM_CONT_WAVE_ITERS = 96
 RIM_CONT_SHRINK = 4

@@ -932,10 +932,13 @@ def _refill_handoff_continue(key, scene, source, cfg, fields, live, n_rays,
 REFILL_MIN = 1 << 20
 _REFILL_BUDGET = 4
 # Tail-handoff straggler fraction for the dispatched refill kernel (see
-# trace_rays_refill): 0 disables.  Measured on v5e 2026-08-17 (16M rays,
-# simple mode, budget 4): frac 0/0.01/0.03/0.10 -> see benchmarks/
-# roofline_kernels.py --handoff; default set to the measured optimum.
-_REFILL_HANDOFF = 0.0
+# trace_rays_refill): 0 disables.  Measured on v5e 2026-08-19
+# (benchmarks/roofline_r5.json, 16M rays, production scene, budget 4):
+# frac 0 / 0.005 / 0.01 / 0.03 / 0.06 -> 25.7 / 37.8 / 40.2 / 36.6 /
+# 31.1 M rays/s; budget 8 is worse at every fraction.  0.01 is the
+# measured optimum (+56% vs no handoff); lane loss in the continuation
+# is deterministically detectable via RimOverflow.total (ADVICE r4).
+_REFILL_HANDOFF = 0.01
 
 
 def _pallas_padded(key, scene, source, n_rays, cfg,

@@ -65,26 +65,27 @@ def main():
     ap.add_argument("--handoff", action="store_true",
                     help="also sweep tail-handoff fraction x budget "
                          "(8 extra programs = 8 remote compiles)")
+    ap.add_argument("--handoff-budgets", type=int, nargs="+",
+                    default=[4, 8],
+                    help="ray budgets for the --handoff sweep; the r5 "
+                         "base data shows the raw slot rate is highest at "
+                         "budget 1 (7.0 vs 5.3 G bounces/s at 4), so with "
+                         "the tail handoff absorbing the idle tail a "
+                         "lower budget may win — sweep 1 2 to check")
     ap.add_argument("--simulate-split", action="store_true",
                     help="also split the simulate tier's exact-rim cost "
                          "(kernel vs rim post-pass) and sweep the rim "
                          "continuation's wave schedule "
                          "(8 extra programs = 8 remote compiles)")
-    ap.add_argument("--band-feasibility", action="store_true",
-                    help="measure the inputs that decide the banded "
-                         "(HIGH + error band + HIGHEST row rescore) "
-                         "binomial scorer: per-pass matmul costs, grouped-"
-                         "nonzero cost per chunk, and the band's flagged-"
-                         "row occupancy at production scale "
-                         "(5 extra programs)")
-    ap.add_argument("--band-m", type=int, default=128 * 50_000,
-                    help="shared-sample size for --band-feasibility (the "
-                         "binomial engine's production M; shrink for a "
-                         "CPU smoke test)")
     ap.add_argument("--skip-base", action="store_true",
                     help="skip sections 1-3 (slot rate / duty cycle / "
                          "direct sampler) so an opted-in section can run "
                          "alone without recompiling the heavy kernels")
+    ap.add_argument("--direct", action="store_true",
+                    help="run section 3 (direct-sampler cost analysis + "
+                         "rates per rng/qmc mode) even with --skip-base — "
+                         "for finishing a run whose base sections already "
+                         "landed (3 extra programs)")
     args = ap.parse_args()
 
     import jax
@@ -146,7 +147,7 @@ def main():
     # the handoff trades idle-tail kernel iterations for one compaction +
     # a small waves-tracer continuation; past some fraction the
     # continuation itself dominates.
-    for budget in (4, 8) if args.handoff else ():
+    for budget in tuple(args.handoff_budgets) if args.handoff else ():
         for frac in (0.005, 0.01, 0.03, 0.06):
             nb = (args.n // (BLOCK * budget)) * (BLOCK * budget)
             f = jax.jit(lambda k, b=budget, fr=frac, nn=nb:
@@ -211,96 +212,9 @@ def main():
             (trace_mod.RIM_CONT_FIRST_WAVE, trace_mod.RIM_CONT_SHRINK,
              trace_mod.RIM_CONT_WAVE_ITERS) = defaults
 
-    # ---- 2d. banded-scorer feasibility (VERDICT r3 #7) ---------------------
-    # The candidate binomial-scoring scheme: s at HIGH (3 passes) + an
-    # all-positive error-band matmul at DEFAULT (1 pass) + HIGHEST rescore
-    # of only the flagged rows per 256-position chunk, exploiting the
-    # measured bitwise row reproducibility.  Whether it beats all-HIGHEST
-    # (6 passes) hinges on three numbers this section measures on real
-    # production-scale data: the per-chunk pass costs, the grouped-nonzero
-    # row-compaction cost per chunk, and the flagged-row occupancy.
-    if args.band_feasibility:
-        from altair_tpu import DetectorGrid
-        from altair_tpu.core.compact import (nonzero_indices,
-                                             nonzero_indices_grouped)
-        from altair_tpu.core.score import (_plucker_features,
-                                           _plucker_weights, exit_capacity,
-                                           grid_centers_normals)
-        from altair_tpu.core.trace_waves import trace_rays_auto
-
-        M = args.band_m               # the binomial engine's shared sample
-        sc_b = SCENE_OPTIMIZE.with_(max_bounces=4096)
-        cap = exit_capacity(sc_b, M)
-        grid = DetectorGrid()
-
-        @jax.jit
-        def exit_features(k):         # real compacted exit segments
-            res = trace_rays_auto(k, sc_b, src, M, TraceConfig())
-            mask = res.exited_port_mask(sc_b.exit_port_z)
-            idx = nonzero_indices(mask, cap, M)
-            valid = idx < M
-            take = jnp.minimum(idx, M - 1)
-            E = res.last_point.stack()[take]
-            D = res.direction.stack()[take]
-            anchor = jnp.array([0.0, 0.0, sc_b.exit_port_z], jnp.float32)
-            return _plucker_features(E - anchor[None, :], D), valid
-
-        Phi, valid = exit_features(jax.random.key(7))
-        jax.block_until_ready(valid)
-        anchor = jnp.array([0.0, 0.0, sc_b.exit_port_z], jnp.float32)
-        C, Nrm = grid_centers_normals(grid, sc_b.exit_port_z)
-        Wa = _plucker_weights(C - anchor[None, :], Nrm, grid.width / 2.0)
-        chunk = 256
-        log("band_n_rows", cap)
-
-        HI = jax.lax.Precision.HIGHEST
-        HIGH = jax.lax.Precision.HIGH
-        DEF = jax.lax.Precision.DEFAULT
-
-        def s_at(prec):
-            return jax.jit(lambda P_, W_: jax.lax.dot_general(
-                P_, W_, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=prec).sum())
-
-        W0 = Wa[:chunk]
-        for nm, prec in (("highest", HI), ("high", HIGH), ("default", DEF)):
-            t = timeit(s_at(prec), Phi, W0, repeats=3)
-            log(f"band_s_{nm}_chunk_s", round(t, 5))
-        t = timeit(s_at(DEF), jnp.abs(Phi), jnp.abs(W0), repeats=3)
-        log("band_env_chunk_s", round(t, 5))
-
-        # grouped row compaction at the scheme's per-chunk capacity
-        row_cap = max(256, -(-(cap // 16) // 8) * 8)
-        flag_dummy = ((jnp.arange(cap) % 29) == 0) & valid  # ~3.4% sparse
-        gz = jax.jit(lambda f: nonzero_indices_grouped(
-            f, row_cap, cap, group_capacity=row_cap)[0].sum())
-        t = timeit(gz, flag_dummy, repeats=3)
-        log("band_grouped_nonzero_s", round(t, 5))
-        log("band_row_cap", row_cap)
-
-        # flagged-row occupancy on the REAL workload: |s_HIGH| <= tau * env
-        @jax.jit
-        def occupancy(P_, W_, tau):
-            s = jax.lax.dot_general(P_, W_, (((1,), (1,)), ((), ())),
-                                    preferred_element_type=jnp.float32,
-                                    precision=HIGH)
-            env = jax.lax.dot_general(jnp.abs(P_), jnp.abs(W_),
-                                      (((1,), (1,)), ((), ())),
-                                      preferred_element_type=jnp.float32,
-                                      precision=DEF)
-            flag = ((jnp.abs(s) <= tau * env).any(axis=1)) & valid
-            return flag.sum() / valid.sum()
-
-        n_chunks = Wa.shape[0] // chunk
-        for ci in (0, n_chunks // 2, n_chunks - 1):
-            Wc = Wa[ci * chunk:(ci + 1) * chunk]
-            for tau in (1e-4, 2e-4, 5e-4):
-                v = float(occupancy(Phi, Wc, tau))
-                log(f"band_rowflag_chunk{ci}_tau{tau:g}", round(v, 4))
-
     # ---- 3. direct sampler: XLA cost analysis + measured rate -------------
     sc_dir = SCENE_OPTIMIZE.with_(exact_rim=False)
-    for label, cfg in () if args.skip_base else (
+    for label, cfg in () if (args.skip_base and not args.direct) else (
             ("threefry", TraceConfig()),
             ("rbg", TraceConfig(rng_impl="rbg")),
             ("qmc", TraceConfig(qmc=1))):
