@@ -926,9 +926,10 @@ def _refill_handoff_continue(key, scene, source, cfg, fields, live, n_rays,
 # granularity of BLOCK*4 and the fixed dispatch cost dominate).
 # Sensitivity re-measured 2026-08-17 at 16M rays, simple mode: budget
 # 2/4/8 -> 21.5/25.9/24.6 M rays/s, INNER_ITERS 64 vs 128 within noise —
-# the shipped (4, 64) sits on the optimum.  Through trace_rays_auto with
-# the exact-rim post-pass the same workload lands at ~19.0 M rays/s
-# (post fast-compaction).
+# the shipped (4, 64) sits on the optimum.  With the tail handoff below
+# (r5): 40.2 M rays/s simple mode; through trace_rays_auto with the
+# exact-rim post-pass 27.2 M (Lambertian) / 17.6 M (MIXED_BRDF) at 16M
+# (benchmarks/results_v5e_r5.json).
 REFILL_MIN = 1 << 20
 _REFILL_BUDGET = 4
 # Tail-handoff straggler fraction for the dispatched refill kernel (see

@@ -72,6 +72,10 @@ def main():
                          "budget 1 (7.0 vs 5.3 G bounces/s at 4), so with "
                          "the tail handoff absorbing the idle tail a "
                          "lower budget may win — sweep 1 2 to check")
+    ap.add_argument("--brdf-slot", action="store_true",
+                    help="measure the MIXED_BRDF kernel's slot rate and "
+                         "its shipped-constant refill rate (2 extra "
+                         "programs) — the simulate-tier roofline argument")
     ap.add_argument("--simulate-split", action="store_true",
                     help="also split the simulate tier's exact-rim cost "
                          "(kernel vs rim post-pass) and sweep the rim "
@@ -157,6 +161,36 @@ def main():
             t = timeit(f, jax.random.key(1), repeats=2)
             log(f"refill_handoff_b{budget}_f{frac}_rays_per_s",
                 round(nb / t))
+
+    # ---- 2b2. MIXED_BRDF slot rate + shipped-constant refill rate ---------
+    # For the simulate-tier roofline ARGUMENT (VERDICT r4 #4): the BRDF
+    # kernel's per-slot-iteration cost (vs the Lambertian slot rate of
+    # section 1) bounds the production path; the shipped-constant refill
+    # rate alongside gives the duty cycle the tail handoff achieves on
+    # this physics (nonLambertianFlux.C:147-208's 7-draw mixture scatter).
+    if args.brdf_slot:
+        from altair_tpu.config import SurfaceModel
+        sc_bslot = SCENE_OPTIMIZE.with_(
+            reflectance=1.0, theta_max_deg=179.99, max_bounces=K,
+            exact_rim=False, surface_model=SurfaceModel.MIXED_BRDF)
+        n = (args.n // (BLOCK * 4)) * (BLOCK * 4)
+        f = jax.jit(lambda k: trace_rays_refill(
+            k, sc_bslot, src, n, TraceConfig(), rays_per_lane=4)
+            .status.sum())
+        t = timeit(f, jax.random.key(0), repeats=2)
+        log("brdf_slot_bounces_per_s_budget4", round(n * K / t))
+        # production-physics BRDF refill at the SHIPPED handoff constants
+        # (simple mode — the rim post-pass cost is the delta vs run_all's
+        # end-to-end throughput_brdf_rays_s row)
+        sc_bprod = sc_prod.with_(surface_model=SurfaceModel.MIXED_BRDF)
+        res_fn = jax.jit(lambda k: trace_rays_refill(
+            k, sc_bprod, src, n, TraceConfig(), rays_per_lane=4,
+            handoff_frac=0.01))
+        mean_b = float(res_fn(jax.random.key(1)).n_bounces.mean())
+        f = jax.jit(lambda k: res_fn(k).status.sum())
+        t = timeit(f, jax.random.key(1), repeats=2)
+        log("brdf_refill_handoff_rays_per_s", round(n / t))
+        log("brdf_refill_mean_bounces", round(mean_b, 2))
 
     # ---- 2c. simulate-tier rim split (VERDICT r3 #4) -----------------------
     # Where does the exact-rim post-pass cost go on the simulate tier?
