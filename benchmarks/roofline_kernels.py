@@ -72,6 +72,11 @@ def main():
                          "budget 1 (7.0 vs 5.3 G bounces/s at 4), so with "
                          "the tail handoff absorbing the idle tail a "
                          "lower budget may win — sweep 1 2 to check")
+    ap.add_argument("--rim-split", action="store_true",
+                    help="stage budget of the direct engine's deferred-rim "
+                         "pipeline (5 extra programs): cumulative prefixes "
+                         "main / +clip+compact / +continuation / +merge, "
+                         "plus the dispatched full path")
     ap.add_argument("--brdf-slot", action="store_true",
                     help="measure the MIXED_BRDF kernel's slot rate and "
                          "its shipped-constant refill rate (2 extra "
@@ -245,6 +250,104 @@ def main():
         finally:
             (trace_mod.RIM_CONT_FIRST_WAVE, trace_mod.RIM_CONT_SHRINK,
              trace_mod.RIM_CONT_WAVE_ITERS) = defaults
+
+    # ---- 2d. direct-engine rim-pipeline stage budget ----------------------
+    # The flagship sustained number (71.2 M rays/s exact-rim at 16M,
+    # results_v5e_r5) spends ~70% of its wall time OUTSIDE the 245-251
+    # M rays/s closed-form sampler — this section attributes it.  Four
+    # cumulative-prefix programs replicate the deferred-rim pipeline
+    # (trace.py:618-720, hybrid-continuation branch) so each stage's cost
+    # is the delta between consecutive prefixes, with the ~30 ms per-call
+    # transport floor cancelling in the subtraction (four separate
+    # stage-only programs would each pay the floor and lose the fusion).
+    if args.rim_split:
+        from altair_tpu.core import trace as T
+        from altair_tpu.core.geometry import (
+            Vec3, cone_crossing_t, cone_face_normal)
+        from altair_tpu.core.sampling import scatter as scatter_fn
+        from altair_tpu.core.trace_waves import trace_rays_auto
+
+        sc_rim = SCENE_OPTIMIZE.with_(max_bounces=4096)  # exact_rim default
+        cfgr = TraceConfig()
+        dtype = cfgr.dtype
+        n = args.n
+        m = min(n, max(256, n >> 4))  # capacity_shift=4, trace.py:631
+
+        def stages(k, upto):
+            k_main, k_first, k_cont = jax.random.split(k, 3)
+            res = trace_rays_direct(k_main, sc_rim.with_(exact_rim=False),
+                                    src, n, cfgr)
+            if upto == 0:
+                return res.status.sum()
+            radius = jnp.asarray(sc_rim.inner_radius, dtype)
+            r_out = jnp.asarray(sc_rim.outer_radius, dtype)
+            cos_tm = jnp.cos(jnp.deg2rad(
+                jnp.asarray(sc_rim.theta_max_deg, dtype)))
+            INF = 1e30
+            q = T.sphere_hit(res.seg_start, res.direction, radius)
+            s_rim = cone_crossing_t(q, res.direction, cos_tm, radius,
+                                    r_out, INF)
+            clipped = (res.status == T.EXITED) & (s_rim < INF)
+            rim_pt = q + res.direction.scale(s_rim)
+            if upto == "clip":       # clip mask alone (elementwise over n)
+                return clipped.sum()
+            if upto == "nonzero":    # + the grouped nonzero (index build)
+                from altair_tpu.core.compact import nonzero_indices_grouped
+                idx0, drop0 = nonzero_indices_grouped(
+                    clipped, m, n, max(256, m >> 1))
+                return idx0.sum() + drop0
+            idx, valid, (c_pt, c_dir, c_prev), (c_b,), dropped = \
+                T._compact_gather(
+                    clipped, [rim_pt, res.direction, res.seg_start],
+                    [res.n_bounces], m, n,
+                    group_capacity=max(256, m >> 1))
+            if upto == 1:
+                return idx.sum() + c_b.sum() + c_pt.x.sum()
+            c_bounces = c_b + valid.astype(jnp.int32)
+            k_surv, k_scat = jax.random.split(k_first)
+            survive = (jax.random.uniform(k_surv, (m,), dtype)
+                       < jnp.asarray(sc_rim.reflectance, dtype))
+            d_scat = scatter_fn(k_scat, sc_rim.surface_model, c_dir,
+                                cone_face_normal(c_pt), sc_rim)
+            status0 = jnp.where(valid & survive, T.RUNNING,
+                                T.ABSORBED).astype(jnp.int32)
+            c_dir2 = Vec3.where(survive, d_scat, c_dir)
+            carry = (c_pt, c_dir2, c_prev, status0, c_bounces,
+                     valid & survive)
+            pos, direction, prev, status, bounces, _ = \
+                T._rim_continuation_hybrid(k_cont, sc_rim, carry, cfgr,
+                                           radius, r_out, cos_tm, INF)
+            if upto == 2:
+                return status.sum() + bounces.sum() + pos.x.sum()
+            sidx = jnp.where(valid, idx, n)
+
+            def sv(out, new):
+                return Vec3(out.x.at[sidx].set(new.x, mode="drop"),
+                            out.y.at[sidx].set(new.y, mode="drop"),
+                            out.z.at[sidx].set(new.z, mode="drop"))
+
+            st = res.status.at[sidx].set(status, mode="drop")
+            lp = sv(res.last_point, pos)
+            ss = sv(res.seg_start, prev)
+            dr = sv(res.direction, direction)
+            nb = res.n_bounces.at[sidx].set(bounces, mode="drop")
+            return (st.sum() + nb.sum() + lp.x.sum() + ss.x.sum()
+                    + dr.x.sum())
+
+        plan = ((0, "main"), ("clip", "cliponly"), ("nonzero", "nonzero"),
+                (1, "clip_compact"), (2, "continuation"),
+                (3, "scatter_merge"))
+        for upto, name in plan:
+            f = jax.jit(lambda k, u=upto: stages(k, u))
+            t = timeit(f, jax.random.key(7), repeats=2)
+            log(f"rim_split_prefix_{name}_s", round(t, 4))
+        # the real dispatched path, same key, for cross-checking the
+        # prefix-3 replica against what production actually runs
+        f = jax.jit(lambda k: trace_rays_auto(k, sc_rim, src, n, cfgr)
+                    .status.sum())
+        t = timeit(f, jax.random.key(7), repeats=2)
+        log("rim_split_full_auto_s", round(t, 4))
+        log("rim_split_full_auto_rays_per_s", round(n / t))
 
     # ---- 3. direct sampler: XLA cost analysis + measured rate -------------
     sc_dir = SCENE_OPTIMIZE.with_(exact_rim=False)
